@@ -1,0 +1,18 @@
+"""mink_octtree_stablediffusion_tpu — a TPU-native sparse octree generative
+framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+dreaming-huang/Mink-OctTree-StableDiffusion (a MinkowskiEngine v0.5.4 fork
+with an octree VAE/VQ-VAE + sparse latent diffusion stack): generalized sparse
+convolutions over COO voxel sets, octree growth/pruning, per-instance
+attention/normalization, DDPM/DDIM latent diffusion — all as shape-static,
+jit-compilable computations over fixed-capacity buffers, data-parallel via
+jax.sharding meshes.
+"""
+
+__version__ = "0.1.0"
+
+from . import ops
+from .ops import SparseGrid
+
+__all__ = ["ops", "SparseGrid", "__version__"]

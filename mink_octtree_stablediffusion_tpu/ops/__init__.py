@@ -1,0 +1,42 @@
+"""Core sparse-tensor ops: the TPU-native engine layer.
+
+Replaces the reference's native C++/CUDA layer (`pybind/extern.hpp`) with
+shape-static XLA computations over fixed-capacity buffers.
+"""
+
+from .coords import (
+    INVALID_COORD,
+    SparseGrid,
+    batched_coordinates_np,
+    canonical_order,
+    expand_grid,
+    make_grid,
+    origin_grid,
+    pad_to_capacity,
+    sparse_quantize_np,
+    stride_grid,
+    unique_coords,
+)
+from .conv import gather_rows, linear_apply, sparse_conv_apply
+from .hashtable import HashTable, build_table, lookup, pack_keys
+from .interp import interpolate, interpolation_weights, splat, splat_coordinates
+from .kernels import KernelSpec, RegionType, region_offsets
+from .morton import morton_decode, morton_encode, morton_encode_np
+from .neighbors import identity_map, kernel_map, membership
+from .pool import broadcast_batch, global_pool, local_pool_apply
+from .pruning import prune, top_k_mask
+from .reduce import reduce_by_inverse, slice_by_inverse
+from .union import union
+
+__all__ = [
+    "INVALID_COORD", "SparseGrid", "batched_coordinates_np", "canonical_order",
+    "expand_grid", "make_grid", "origin_grid", "pad_to_capacity",
+    "sparse_quantize_np", "stride_grid", "unique_coords", "gather_rows",
+    "linear_apply", "sparse_conv_apply", "HashTable", "build_table", "lookup",
+    "pack_keys", "interpolate", "interpolation_weights", "splat",
+    "splat_coordinates", "KernelSpec", "RegionType", "region_offsets",
+    "morton_decode", "morton_encode", "morton_encode_np", "identity_map",
+    "kernel_map", "membership", "broadcast_batch", "global_pool",
+    "local_pool_apply", "prune", "top_k_mask", "reduce_by_inverse",
+    "slice_by_inverse", "union",
+]

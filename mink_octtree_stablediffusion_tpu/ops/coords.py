@@ -1,0 +1,269 @@
+"""Functional coordinate engine: fixed-capacity batched voxel coordinate sets.
+
+TPU-native replacement for the reference's stateful CoordinateMapManager
+(`MinkowskiEngine/MinkowskiCoordinateManager.py`, native decl
+`pybind/extern.hpp:767-806`).  A coordinate set is a pytree —
+``SparseGrid(coords[N_cap, 1+D], valid[N_cap])`` with a static tensor stride —
+so every operation (dedup, stride map, generative expansion, membership query)
+is a shape-static XLA computation: whole training steps jit with zero host
+round-trips.
+
+Canonical row order is (batch, morton): the reference sorts tensors by Morton
+code before attention (`examples/ae_res.py:92-123`); here the order falls out
+of the dedup sort for free and is an invariant of every SparseGrid.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import hashtable
+from .morton import morton_encode
+
+# Stored in every column of padding rows.  Valid pipeline coordinates are
+# bounded by the voxelization resolution (<= 1024 in all reference configs),
+# far below this sentinel, and the packed-key domain (+-32767 for D=3) is far
+# above it.
+INVALID_COORD = 1 << 14
+
+
+def _tuplize(x, d: int) -> Tuple[int, ...]:
+    if isinstance(x, (int, np.integer)):
+        return (int(x),) * d
+    t = tuple(int(v) for v in x)
+    assert len(t) == d
+    return t
+
+
+class SparseGrid(struct.PyTreeNode):
+    """A deduplicated, Morton-canonically-ordered batched coordinate set.
+
+    coords[:, 0] is the batch index (the reference encodes batch the same way:
+    `MinkowskiEngine/utils/collation.py:30-92`).  Rows with ``valid == False``
+    are padding and hold ``INVALID_COORD`` in every column.
+    """
+
+    coords: jnp.ndarray  # int32[N_cap, 1+D]
+    valid: jnp.ndarray  # bool[N_cap]
+    stride: Tuple[int, ...] = struct.field(pytree_node=False, default=(1, 1, 1))
+    batch_size: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.coords.shape[1] - 1
+
+    def batch_ids(self) -> jnp.ndarray:
+        """Batch index per row; padding rows map to segment ``batch_size``."""
+        return jnp.where(self.valid, self.coords[:, 0], self.batch_size)
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    def hash_table(self) -> hashtable.HashTable:
+        """Build the membership table for this grid (XLA CSE dedupes repeats)."""
+        return hashtable.build_table(self.coords, self.valid)
+
+
+def canonical_sort_keys(coords: jnp.ndarray, valid: jnp.ndarray, stride) -> tuple:
+    """lexsort key tuple (least→most significant) for (batch, morton) order."""
+    d = coords.shape[1] - 1
+    s = np.asarray(_tuplize(stride, d), dtype=np.int32)
+    m = morton_encode(coords[:, 1:], jnp.asarray(s))
+    big = np.iinfo(np.int32).max
+    m = jnp.where(valid, m, big)
+    b = jnp.where(valid, coords[:, 0], big)
+    minor = tuple(coords[:, i] for i in range(d, 0, -1))
+    return minor + (m, b)
+
+
+def canonical_order(coords: jnp.ndarray, valid: jnp.ndarray, stride) -> jnp.ndarray:
+    """Permutation sorting rows into (batch, morton, coord-lex) order, padding last."""
+    return jnp.lexsort(canonical_sort_keys(coords, valid, stride))
+
+
+def unique_coords(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    capacity: int,
+    stride=1,
+):
+    """Sort-based dedup into a fixed-capacity canonical buffer.
+
+    The jit-traceable equivalent of the native ``insert_and_map``
+    (`MinkowskiCoordinateManager.py:153-179`): returns the unique coordinate
+    array, its validity mask, the inverse map (input row → unique row, with
+    ``capacity`` as the dropped/invalid sentinel) and the true unique count
+    (callers can detect capacity overflow: ``count > capacity``).
+    """
+    n, nf = coords.shape
+    order = canonical_order(coords, valid, stride)
+    sc = coords[order]
+    sv = valid[order]
+    prev_eq = jnp.concatenate(
+        [jnp.zeros((1,), bool), jnp.all(sc[1:] == sc[:-1], axis=-1) & sv[1:] & sv[:-1]]
+    )
+    first = sv & ~prev_eq
+    uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    uid = jnp.where(sv, jnp.minimum(uid, capacity), capacity)
+    count = jnp.sum(first.astype(jnp.int32))
+
+    out = jnp.full((capacity + 1, nf), INVALID_COORD, dtype=jnp.int32)
+    out = out.at[jnp.where(first, uid, capacity)].set(sc)
+    out_coords = out[:capacity]
+    out_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(count, capacity)
+
+    inverse = jnp.zeros((n,), dtype=jnp.int32).at[order].set(uid)
+    return out_coords, out_valid, inverse, count
+
+
+def make_grid(
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    capacity: int | None = None,
+    stride=1,
+    batch_size: int = 1,
+):
+    """Dedup + canonicalize raw batched coords into a SparseGrid.
+
+    Returns ``(grid, inverse, count)``; ``inverse`` maps each input row to its
+    unique row (== the reference's inverse_map used by all quantization modes).
+    """
+    d = coords.shape[1] - 1
+    capacity = capacity or coords.shape[0]
+    uc, uv, inverse, count = unique_coords(coords, valid, capacity, stride)
+    grid = SparseGrid(
+        coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size
+    )
+    return grid, inverse, count
+
+
+def stride_grid(grid: SparseGrid, stride, capacity: int | None = None) -> SparseGrid:
+    """Coarsen to tensor-stride ``grid.stride * stride`` (the manager's
+    ``stride`` op, `MinkowskiCoordinateManager.py:254-268`).
+
+    Output coordinates are floor-rounded onto the coarser lattice (floor, not
+    trunc: correct octree semantics for negative coordinates too).
+    """
+    d = grid.ndim
+    s = np.array(_tuplize(stride, d), dtype=np.int32)
+    new_stride = tuple(int(a * b) for a, b in zip(grid.stride, s))
+    ns = jnp.asarray(np.array(new_stride, dtype=np.int32))
+    down = jnp.concatenate(
+        [
+            grid.coords[:, :1],
+            jnp.floor_divide(grid.coords[:, 1:], ns) * ns,
+        ],
+        axis=-1,
+    )
+    down = jnp.where(grid.valid[:, None], down, INVALID_COORD)
+    cap = capacity or grid.capacity
+    uc, uv, _, _ = unique_coords(down, grid.valid, cap, new_stride)
+    return SparseGrid(coords=uc, valid=uv, stride=new_stride, batch_size=grid.batch_size)
+
+
+def expand_grid(
+    grid: SparseGrid,
+    offsets: np.ndarray,
+    out_stride: Sequence[int],
+    capacity: int,
+) -> SparseGrid:
+    """Generative expansion: unique union of ``coords + offset`` for every
+    kernel offset — the coordinate-growth half of
+    MinkowskiGenerativeConvolutionTranspose (`MinkowskiConvolution.py:547-642`)
+    and of conv with ``expand_coordinates=True``.
+
+    ``offsets`` are absolute (already scaled to lattice units), shape [K, D].
+    """
+    k, d = offsets.shape
+    off = jnp.asarray(offsets.astype(np.int32))
+    spatial = grid.coords[:, None, 1:] + off[None, :, :]  # [N, K, D]
+    batch = jnp.broadcast_to(grid.coords[:, None, :1], (grid.capacity, k, 1))
+    cand = jnp.concatenate([batch, spatial], axis=-1).reshape(-1, 1 + d)
+    cand_valid = jnp.repeat(grid.valid, k)
+    cand = jnp.where(cand_valid[:, None], cand, INVALID_COORD)
+    uc, uv, _, _ = unique_coords(cand, cand_valid, capacity, tuple(out_stride))
+    return SparseGrid(
+        coords=uc, valid=uv, stride=tuple(int(s) for s in out_stride),
+        batch_size=grid.batch_size,
+    )
+
+
+def origin_grid(grid: SparseGrid) -> SparseGrid:
+    """Per-batch origin coordinates (one row per batch instance) — the
+    manager's ``origin_map`` (`MinkowskiCoordinateManager.py:423`), which
+    backs global pooling / broadcast."""
+    b = grid.batch_size
+    d = grid.ndim
+    coords = jnp.concatenate(
+        [
+            jnp.arange(b, dtype=jnp.int32)[:, None],
+            jnp.zeros((b, d), dtype=jnp.int32),
+        ],
+        axis=-1,
+    )
+    return SparseGrid(
+        coords=coords,
+        valid=jnp.ones((b,), bool),
+        stride=grid.stride,
+        batch_size=b,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side collation helpers (the reference's utils/collation.py equivalents)
+# ---------------------------------------------------------------------------
+
+
+def batched_coordinates_np(coord_list, dtype=np.int32) -> np.ndarray:
+    """Prepend the batch index column (reference `utils/collation.py:30-92`)."""
+    rows = []
+    for b, c in enumerate(coord_list):
+        c = np.asarray(c)
+        bc = np.concatenate(
+            [np.full((len(c), 1), b, dtype=dtype), np.floor(c).astype(dtype)], axis=1
+        )
+        rows.append(bc)
+    return np.concatenate(rows, axis=0)
+
+
+def sparse_quantize_np(coords: np.ndarray, quantization_size=1.0, return_index=False,
+                       return_inverse=False):
+    """Host-side voxelization (reference `utils/quantization.py:136-332`):
+    floor-divide continuous coordinates by the quantization size and dedup,
+    keeping the first occurrence of each voxel."""
+    q = np.floor(np.asarray(coords, dtype=np.float64) / quantization_size).astype(
+        np.int32
+    )
+    _, index, inverse = np.unique(
+        q, axis=0, return_index=True, return_inverse=True
+    )
+    out = (q[np.sort(index)],)
+    if return_index or return_inverse:
+        # report indices in first-occurrence order to mirror the reference
+        order = np.argsort(index)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        if return_index:
+            out = out + (np.sort(index),)
+        if return_inverse:
+            out = out + (rank[inverse],)
+    return out[0] if len(out) == 1 else out
+
+
+def pad_to_capacity(coords: np.ndarray, capacity: int):
+    """Pad/truncate host coords to the static capacity; returns (coords, valid)."""
+    n = min(len(coords), capacity)
+    out = np.full((capacity, coords.shape[1]), INVALID_COORD, dtype=np.int32)
+    out[:n] = coords[:n]
+    valid = np.zeros((capacity,), dtype=bool)
+    valid[:n] = True
+    return out, valid
