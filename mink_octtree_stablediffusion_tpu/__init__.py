@@ -12,7 +12,23 @@ jax.sharding meshes.
 
 __version__ = "0.1.0"
 
-from . import ops
+from . import nn, ops, tensor
 from .ops import SparseGrid
+from .tensor import (
+    SparseTensor,
+    TensorField,
+    cat,
+    interpolate_at,
+    slice_to_field,
+    sparse_tensor,
+    stack_mean,
+    stack_sum,
+    stack_var,
+    to_sparse_dense,
+)
 
-__all__ = ["ops", "SparseGrid", "__version__"]
+__all__ = [
+    "nn", "ops", "tensor", "SparseGrid", "SparseTensor", "TensorField",
+    "cat", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
+    "stack_sum", "stack_var", "to_sparse_dense", "__version__",
+]

@@ -1,0 +1,145 @@
+"""Per-instance attention over sparse tensors.
+
+TPU-native re-design of the fork's sparse attention
+(`MinkowskiEngine/modules/diffusion_block.py:400-649`): voxels of each batch
+instance are packed into a static ``[B, L_max, C]`` buffer with a key-padding
+mask (the reference computes L_max dynamically with bincount/cumsum —
+`diffusion_block.py:594-617`; here L_max is a static capacity, which the
+decomposed-features scatter fills in one shot), attention runs as dense
+batched MXU matmuls, and rows are scattered back.  Also includes the
+Morton-window transformer (`examples/ae_res.py:344-416`): attention within
+fixed windows of the Morton-sorted row order — a pure reshape on TPU since
+SparseGrid rows are always Morton-sorted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..tensor import SparseTensor
+
+_NEG = -1e9
+
+
+def _mha(q, k, v, mask, num_heads: int):
+    """Masked multi-head attention core. q [B,Lq,C], k/v [B,Lk,C],
+    mask bool[B,Lk] (True = attend)."""
+    b, lq, c = q.shape
+    lk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, hd).transpose(0, 2, 1, 3)
+    logits = (qh @ kh.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+    logits = jnp.where(mask[:, None, None, :], logits, _NEG)
+    w = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    w = w * mask[:, None, None, :].astype(w.dtype)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    out = (w @ vh).transpose(0, 2, 1, 3).reshape(b, lq, c)
+    return out
+
+
+class SparseAttention(nn.Module):
+    """One residual attention layer with to_q / to_kv / to_out projections —
+    the reference `sparseAttention` (`diffusion_block.py:400-500`): q/kv
+    linears without bias, output linear with bias, residual connection.
+    Self-attention by default; pass ``encoder_hidden_state`` [B, S, D_cross]
+    for cross-attention (CLIP conditioning)."""
+
+    num_heads: int = 1
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, packed: jnp.ndarray, mask: jnp.ndarray,
+                 encoder_hidden_state: Optional[jnp.ndarray] = None,
+                 encoder_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, l, c = packed.shape
+        residual = packed
+        q = nn.Dense(c, use_bias=False, name="to_q")(packed)
+        ctx = packed if encoder_hidden_state is None else encoder_hidden_state
+        kv = nn.Dense(2 * c, use_bias=False, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        if encoder_hidden_state is None:
+            kmask = mask
+        else:
+            kmask = (encoder_mask if encoder_mask is not None
+                     else jnp.ones(ctx.shape[:2], bool))
+        out = _mha(q, k, v, kmask, self.num_heads)
+        out = nn.Dense(c, use_bias=True, name="to_out")(out)
+        return out + residual
+
+
+class SparseTransformer(nn.Module):
+    """Pack → attention → unpack on a SparseTensor — the reference
+    `sparseTransformer` (`diffusion_block.py:517-649`, single layer,
+    nhead=1)."""
+
+    max_len: int
+    num_heads: int = 1
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: SparseTensor,
+                 encoder_hidden_state: Optional[jnp.ndarray] = None
+                 ) -> SparseTensor:
+        packed, mask, pos = x.decomposed_features(self.max_len)
+        out = SparseAttention(
+            num_heads=self.num_heads,
+            cross_attention_dim=self.cross_attention_dim,
+        )(packed, mask, encoder_hidden_state)
+        out = out * mask[..., None].astype(out.dtype)
+        return x.from_decomposed(out, pos)
+
+
+class MortonWindowTransformer(nn.Module):
+    """Windowed attention over the Morton order with interval dilation —
+    `MortonWindowTransformer` (`examples/ae_res.py:344-416`).  SparseGrid rows
+    are (batch, morton)-sorted by construction, so windowing is a static
+    reshape: rows [N] → windows [N/W, W].  ``interval`` > 1 strides rows into
+    dilated windows first (the reference's interval transpose trick)."""
+
+    window_size: int = 64
+    interval: int = 1
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: SparseTensor) -> SparseTensor:
+        n, c = x.features.shape
+        w, iv = self.window_size, self.interval
+        pad = (-n) % (w * iv)
+        f = jnp.pad(x.features, ((0, pad), (0, 0)))
+        m = jnp.pad(x.valid, (0, pad))
+        bid = jnp.pad(jnp.where(x.valid, x.C[:, 0], -1), (0, pad),
+                      constant_values=-1)
+        if iv > 1:
+            f = f.reshape(-1, iv, c).swapaxes(0, 1).reshape(-1, c)
+            m = m.reshape(-1, iv).swapaxes(0, 1).reshape(-1)
+            bid = bid.reshape(-1, iv).swapaxes(0, 1).reshape(-1)
+        nw = f.shape[0] // w
+        fw = f.reshape(nw, w, c)
+        mw = m.reshape(nw, w)
+        bw = bid.reshape(nw, w)
+        # attend only within the same batch instance inside a window
+        same = (bw[:, :, None] == bw[:, None, :]) & mw[:, None, :]
+        q = nn.Dense(c, use_bias=False, name="to_q")(fw)
+        kv = nn.Dense(2 * c, use_bias=False, name="to_kv")(fw)
+        k, v = jnp.split(kv, 2, axis=-1)
+        hd = c // self.num_heads
+        qh = q.reshape(nw, w, self.num_heads, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(nw, w, self.num_heads, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(nw, w, self.num_heads, hd).transpose(0, 2, 1, 3)
+        logits = (qh @ kh.transpose(0, 1, 3, 2)) / np.sqrt(hd)
+        logits = jnp.where(same[:, None, :, :], logits, _NEG)
+        wts = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        wts = wts * same[:, None, :, :].astype(wts.dtype)
+        wts = wts / jnp.maximum(jnp.sum(wts, axis=-1, keepdims=True), 1e-9)
+        out = (wts @ vh).transpose(0, 2, 1, 3).reshape(nw * w, c)
+        out = nn.Dense(c, use_bias=True, name="to_out")(out)
+        if iv > 1:
+            out = out.reshape(iv, -1, c).swapaxes(0, 1).reshape(-1, c)
+        out = out[:n]
+        return x.with_features(x.features + out)

@@ -1,0 +1,229 @@
+"""Sparse convolution layer modules (flax.linen).
+
+TPU-native re-design of the reference conv family
+(`MinkowskiEngine/MinkowskiConvolution.py`): SparseConv /
+SparseConvTranspose / GenerativeConvTranspose / UpsampleInterpolate /
+ChannelwiseConv.  Geometry flows *functionally*: a stride-1 conv reuses the
+input grid (same object → XLA CSE shares the hash table), a strided conv
+derives the coarser grid in-graph, a transpose conv is *pinned* to an
+explicitly provided output grid (the UNet keeps its skip grids around — the
+reference gets the same effect from the coordinate manager's cache), and the
+generative transpose grows the grid by kernel-offset expansion
+(`MinkowskiConvolution.py:547-642`).
+
+Kernel layout is (K, Cin, Cout) with fan_in = K * Cin kaiming-normal init —
+identical to the reference (`MinkowskiConvolution.py:272-277`,
+`utils/init.py:36`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (
+    KernelSpec,
+    RegionType,
+    SparseGrid,
+    expand_grid,
+    gather_rows,
+    kernel_map,
+    linear_apply,
+    sparse_conv_apply,
+    stride_grid,
+)
+from ..tensor import SparseTensor
+
+Size = Union[int, Tuple[int, ...]]
+
+
+def _kaiming(key, shape, dtype=jnp.float32):
+    """fan-in kaiming normal over (K*Cin) — reference `utils/init.py:28-41`."""
+    if len(shape) == 3:
+        fan = shape[0] * shape[1]
+    else:
+        fan = shape[0]
+    std = np.sqrt(2.0 / fan)
+    import jax
+
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class SparseConv(nn.Module):
+    """Generalized sparse convolution (reference `MinkowskiConvolution`).
+
+    ``out_grid`` pins the output coordinates (the reference's explicit
+    ``coordinates=`` argument); otherwise stride-1 reuses the input grid and
+    stride>1 derives the coarsened grid with ``out_capacity`` rows.
+    """
+
+    out_channels: int
+    kernel_size: Size = 3
+    stride: Size = 1
+    dilation: Size = 1
+    use_bias: bool = False
+    region_type: RegionType = RegionType.HYPER_CUBE
+    out_capacity: Optional[int] = None
+    ndim: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, out_grid: Optional[SparseGrid] = None
+                 ) -> SparseTensor:
+        spec = KernelSpec(self.kernel_size, self.stride, self.dilation,
+                          ndim=self.ndim, region_type=self.region_type)
+        cin = x.num_channels
+        kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+                if self.use_bias else None)
+
+        if spec.is_identity and out_grid is None:
+            return x.with_features(linear_apply(x.features, kernel, bias))
+
+        if out_grid is None:
+            if all(s == 1 for s in spec.stride):
+                out_grid = x.grid
+            else:
+                out_grid = stride_grid(x.grid, spec.stride,
+                                       self.out_capacity or x.capacity)
+        nbr = kernel_map(x.grid, out_grid, spec)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        return SparseTensor(grid=out_grid, features=out).mask_features()
+
+
+class SparseConvTranspose(nn.Module):
+    """Upsampling transpose conv pinned to a known finer grid (reference
+    `MinkowskiConvolutionTranspose`, `MinkowskiConvolution.py:462-544`).
+
+    ``out_grid`` is mandatory: the functional design has no manager cache, so
+    the caller supplies the target geometry (UNet skip grids / `coordinates=`)."""
+
+    out_channels: int
+    kernel_size: Size = 2
+    stride: Size = 2
+    dilation: Size = 1
+    use_bias: bool = False
+    region_type: RegionType = RegionType.HYPER_CUBE
+    ndim: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, out_grid: SparseGrid) -> SparseTensor:
+        spec = KernelSpec(self.kernel_size, self.stride, self.dilation,
+                          ndim=self.ndim, region_type=self.region_type,
+                          transpose=True)
+        cin = x.num_channels
+        kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+                if self.use_bias else None)
+        nbr = kernel_map(x.grid, out_grid, spec)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        return SparseTensor(grid=out_grid, features=out).mask_features()
+
+
+class GenerativeConvTranspose(nn.Module):
+    """Octree-growth op (reference `MinkowskiGenerativeConvolutionTranspose`):
+    output coordinates = union of input coords ⊕ kernel offsets at the finer
+    stride; ``out_capacity`` is the static budget of the grown level."""
+
+    out_channels: int
+    out_capacity: int
+    kernel_size: Size = 2
+    stride: Size = 2
+    dilation: Size = 1
+    use_bias: bool = False
+    ndim: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor) -> SparseTensor:
+        spec = KernelSpec(self.kernel_size, self.stride, self.dilation,
+                          ndim=self.ndim, transpose=True)
+        cin = x.num_channels
+        kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+                if self.use_bias else None)
+        out_stride = spec.out_stride(x.tensor_stride)
+        offs = spec.absolute_offsets(x.tensor_stride)
+        out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
+        nbr = kernel_map(x.grid, out_grid, spec)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        return SparseTensor(grid=out_grid, features=out).mask_features()
+
+
+class UpsampleInterpolate(nn.Module):
+    """Exact nearest-neighbor octree upsample (fork-added
+    `MinkowskiUpsampleInterpolate`, `MinkowskiConvolution.py:644-737`):
+    generative k2-s2 transpose with a frozen identity kernel — every child
+    voxel copies its parent's features.  Parameter-free here (the reference
+    freezes the identity kernel; we skip the multiply entirely)."""
+
+    out_capacity: int
+    kernel_size: Size = 2
+    stride: Size = 2
+    ndim: int = 3
+
+    @nn.compact
+    def __call__(self, x: SparseTensor) -> SparseTensor:
+        spec = KernelSpec(self.kernel_size, self.stride, ndim=self.ndim,
+                          transpose=True)
+        out_stride = spec.out_stride(x.tensor_stride)
+        offs = spec.absolute_offsets(x.tensor_stride)
+        out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
+        nbr = kernel_map(x.grid, out_grid, spec)  # [K, N_out]
+        # k2-s2 transpose: each output coord has exactly one parent among the
+        # K offsets; sum of per-offset gathers == the parent's features.
+        out = 0.0
+        for k in range(spec.volume):
+            out = out + gather_rows(x.features, nbr[k])
+        return SparseTensor(grid=out_grid, features=out).mask_features()
+
+
+class ChannelwiseConv(nn.Module):
+    """Depthwise sparse conv (reference `MinkowskiChannelwiseConvolution.py`):
+    ``out[j] += in[nbr_k(j)] * w_k`` with per-channel weights [K, C]."""
+
+    kernel_size: Size = 3
+    stride: Size = 1
+    dilation: Size = 1
+    use_bias: bool = False
+    region_type: RegionType = RegionType.HYPER_CUBE
+    out_capacity: Optional[int] = None
+    ndim: int = 3
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, out_grid: Optional[SparseGrid] = None
+                 ) -> SparseTensor:
+        spec = KernelSpec(self.kernel_size, self.stride, self.dilation,
+                          ndim=self.ndim, region_type=self.region_type)
+        c = x.num_channels
+        kernel = self.param("kernel", _kaiming, (spec.volume, c))
+        if out_grid is None:
+            if all(s == 1 for s in spec.stride):
+                out_grid = x.grid
+            else:
+                out_grid = stride_grid(x.grid, spec.stride,
+                                       self.out_capacity or x.capacity)
+        nbr = kernel_map(x.grid, out_grid, spec)
+        out = 0.0
+        for k in range(spec.volume):
+            out = out + gather_rows(x.features, nbr[k]) * kernel[k][None, :]
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (c,))
+        return SparseTensor(grid=out_grid, features=out).mask_features()
+
+
+class Linear(nn.Module):
+    """1x1 feature transform (reference `MinkowskiLinear`,
+    `MinkowskiOps.py:40-67`); works on SparseTensor and TensorField alike."""
+
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dense = nn.Dense(self.out_channels, use_bias=self.use_bias)
+        return x.with_features(dense(x.features))
