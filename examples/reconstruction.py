@@ -1,0 +1,127 @@
+"""Class-conditional generative reconstruction — the reference's
+`examples/reconstruction.py` demo TPU-native: GenerativeNet grows a full
+shape from one seed voxel per instance (class one-hot features) through six
+generative-transpose + pruning levels, trained with per-level BCE.
+
+Run (synthetic smoke):
+    python examples/reconstruction.py --steps 5 --resolution 64
+"""
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import mink_octtree_stablediffusion_tpu as mt
+from mink_octtree_stablediffusion_tpu import models as mm
+from mink_octtree_stablediffusion_tpu import train as mtrain
+from mink_octtree_stablediffusion_tpu.data import (
+    SyntheticShapes, batch_iterator, collate_pointclouds)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--max_epochs", type=int, default=50)
+    p.add_argument("--input_capacity", type=int, default=32768)
+    return p.parse_args()
+
+
+def main():
+    cfg = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("reconstruction")
+    np_rng = np.random.RandomState(cfg.seed)
+    ds = SyntheticShapes(resolution=cfg.resolution, num_samples=256)
+    n_classes = len(ds.CLASSES)
+    b = cfg.batch_size
+    cap = cfg.input_capacity
+
+    # 6 levels of 8x growth from one seed voxel per instance
+    level_caps = tuple(min(b * 8 ** (i + 1), cap) for i in range(6))
+    net = mm.GenerativeNet(level_capacities=level_caps)
+    seed_stride = 2 ** 6
+
+    def seed_tensor(labels):
+        coords = jnp.concatenate(
+            [jnp.arange(b, dtype=jnp.int32)[:, None],
+             jnp.zeros((b, 3), jnp.int32)], axis=-1)
+        grid = mt.SparseGrid(coords=coords, valid=jnp.ones((b,), bool),
+                             stride=(seed_stride,) * 3, batch_size=b)
+        feats = jax.nn.one_hot(labels, n_classes) * 10.0
+        return mt.SparseTensor(grid=grid, features=feats)
+
+    def target_grid(cpad, valid):
+        st = mt.sparse_tensor(cpad, jnp.ones((cap, 1)) * valid[:, None],
+                              capacity=cap, batch_size=b, valid=valid)
+        return st.grid
+
+    samples0 = [ds[i] for i in range(b)]
+    cpad, valid, _, _ = collate_pointclouds([s["coords"] for s in samples0],
+                                            cap)
+    labels0 = jnp.asarray([s["label"] for s in samples0], jnp.int32)
+    z0 = seed_tensor(labels0)
+    tg0 = jax.jit(target_grid)(jnp.asarray(cpad), jnp.asarray(valid))
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = jax.jit(net.init)(rng, z0, tg0)
+    log.info("params: %s", mt.utils.count_params(variables["params"]))
+
+    tx = optax.sgd(cfg.lr, momentum=0.9)  # reference uses raw SGD (`:548-625`)
+    state = mtrain.TrainState.create(variables["params"],
+                                     variables.get("batch_stats", {}), tx)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        cpad, valid, labels = batch
+        z = seed_tensor(labels)
+        tg = target_grid(cpad, valid)
+        (out_clss, targets, sout), upd = net.apply(
+            {"params": params, "batch_stats": batch_stats}, z, tg,
+            mutable=["batch_stats"])
+        bce = 0.0
+        for logits_t, target in zip(out_clss, targets):
+            lo = logits_t.features[:, 0]
+            v = logits_t.valid
+            t = target.astype(lo.dtype)
+            per = jnp.maximum(lo, 0.) - lo * t + jnp.log1p(jnp.exp(-jnp.abs(lo)))
+            bce += jnp.sum(jnp.where(v, per, 0.)) / jnp.maximum(
+                jnp.sum(v.astype(lo.dtype)), 1.)
+        bce = bce / len(out_clss)
+        return bce, ({"final_voxels": sout.count()}, upd.get("batch_stats",
+                                                             batch_stats))
+
+    step_fn = mtrain.make_train_step(loss_fn)
+    step, t0 = 0, time.time()
+    for epoch in range(cfg.max_epochs):
+        for samples in batch_iterator(ds, b, np_rng):
+            cpad, valid, _, _ = collate_pointclouds(
+                [s["coords"] for s in samples], cap)
+            labels = jnp.asarray([s["label"] for s in samples], jnp.int32)
+            rng, sub = jax.random.split(rng)
+            state, loss, aux = step_fn(
+                state, (jnp.asarray(cpad), jnp.asarray(valid), labels), sub)
+            step += 1
+            if step % 10 == 0:
+                log.info("epoch %d step %d bce %.4f voxels %d (%.2f s/step)",
+                         epoch, step, float(loss),
+                         int(aux["final_voxels"]), (time.time() - t0) / 10)
+                t0 = time.time()
+            if cfg.steps and step >= cfg.steps:
+                log.info("done; final bce %.4f", float(loss))
+                return
+
+
+if __name__ == "__main__":
+    main()

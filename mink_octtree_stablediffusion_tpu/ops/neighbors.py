@@ -8,6 +8,10 @@ output row looks up its input neighbor for every kernel offset.  This
 out-centric layout makes the sparse convolution a pure gather + GEMM (no
 scatter in the forward pass → deterministic and MXU-friendly), with the
 scatter-add appearing only in the autodiff transpose.
+
+Lookups run as static binary searches over the canonical sorted order
+(`ops.search`); every query for all K offsets is batched into ONE search of
+K·N_out keys so XLA amortizes the bisection gathers across offsets.
 """
 
 from __future__ import annotations
@@ -16,16 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import hashtable
 from .coords import SparseGrid
 from .kernels import KernelSpec
+from .search import lookup_sorted
 
 
 def kernel_map(
     in_grid: SparseGrid,
     out_grid: SparseGrid,
     spec: KernelSpec,
-    in_table: hashtable.HashTable | None = None,
 ) -> jnp.ndarray:
     """Gather indices ``idx[K, N_out]``: input row for each (offset, out row).
 
@@ -33,33 +36,34 @@ def kernel_map(
       conv      — in_coord = out_coord + delta   (delta in input-lattice units)
       transpose — out_coord = in_coord + delta ⇒ query in at out_coord − delta
     """
-    table = in_table if in_table is not None else in_grid.hash_table()
     offs = spec.absolute_offsets(in_grid.stride)
     sign = -1 if spec.transpose else 1
-    out_xyz = out_grid.coords[:, 1:]
-    out_b = out_grid.coords[:, :1]
-    rows = []
-    for k in range(offs.shape[0]):
-        delta = jnp.asarray((sign * offs[k]).astype(np.int32))
-        q = jnp.concatenate([out_b, out_xyz + delta[None, :]], axis=-1)
-        rows.append(hashtable.lookup(table, q, out_grid.valid))
-    return jax.lax.stop_gradient(jnp.stack(rows, axis=0))
+    k = offs.shape[0]
+    n_out = out_grid.capacity
+    deltas = jnp.asarray((sign * offs).astype(np.int32))  # [K, D]
+    q_xyz = out_grid.coords[None, :, 1:] + deltas[:, None, :]  # [K, N, D]
+    q_b = jnp.broadcast_to(out_grid.coords[None, :, :1], (k, n_out, 1))
+    queries = jnp.concatenate([q_b, q_xyz], axis=-1).reshape(k * n_out, -1)
+    q_valid = jnp.broadcast_to(out_grid.valid[None, :], (k, n_out)).reshape(-1)
+    idx = lookup_sorted(in_grid.coords, in_grid.valid, in_grid.stride,
+                        queries, q_valid)
+    return idx.reshape(k, n_out)
 
 
-def membership(query_grid: SparseGrid, target_grid: SparseGrid,
-               target_table: hashtable.HashTable | None = None) -> jnp.ndarray:
+def membership(query_grid: SparseGrid, target_grid: SparseGrid) -> jnp.ndarray:
     """bool[N_query]: is each (valid) query coordinate present in target?
 
     The decoder's ``get_target`` (`examples/ae_res.py:556-570`) does this via a
-    kernel_size-1 kernel map; a single hashed membership probe is equivalent.
+    kernel_size-1 kernel map; a single sorted-membership probe is equivalent.
     """
-    table = target_table if target_table is not None else target_grid.hash_table()
-    idx = hashtable.lookup(table, query_grid.coords, query_grid.valid)
+    idx = lookup_sorted(target_grid.coords, target_grid.valid,
+                        target_grid.stride, query_grid.coords,
+                        query_grid.valid)
     return (idx >= 0) & query_grid.valid
 
 
 def identity_map(in_grid: SparseGrid, out_grid: SparseGrid) -> jnp.ndarray:
     """Row map out→in for grids over identical coordinate sets (e.g. pinning a
     stride-1 conv onto an explicitly provided coordinate key)."""
-    table = in_grid.hash_table()
-    return hashtable.lookup(table, out_grid.coords, out_grid.valid)
+    return lookup_sorted(in_grid.coords, in_grid.valid, in_grid.stride,
+                         out_grid.coords, out_grid.valid)

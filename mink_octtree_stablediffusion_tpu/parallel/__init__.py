@@ -1,0 +1,11 @@
+"""Parallelism: device meshes + data-parallel training utilities."""
+
+from .mesh import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate,
+    shard_batch_pytree,
+)
+
+__all__ = ["batch_sharding", "data_parallel_mesh", "replicate",
+           "shard_batch_pytree"]

@@ -239,6 +239,10 @@ class TensorField(struct.PyTreeNode):
     def capacity(self) -> int:
         return self.coordinates.shape[0]
 
+    @property
+    def num_channels(self) -> int:
+        return self.features.shape[-1]
+
     def with_features(self, features: jnp.ndarray) -> "TensorField":
         f = features * self.valid[:, None].astype(features.dtype)
         return self.replace(features=f)

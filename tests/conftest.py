@@ -1,9 +1,13 @@
 """Test configuration: run on CPU with 8 virtual devices so multi-chip
-sharding paths are exercised without TPU hardware (SURVEY.md §4 test plan)."""
+sharding paths are exercised without TPU hardware (SURVEY.md §4 test plan).
+
+Note: this environment registers a remote-TPU PJRT plugin via sitecustomize
+and pins ``jax_platforms`` to it, so the override must go through
+`jax.config` *after* importing jax — env vars alone are ignored.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,11 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compile cache: this machine has a single slow CPU core and the
-# suite is compile-bound; cache XLA executables across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,170 @@
+"""Model-level tests: VAE forward/loss, VQ layer, diffusion scheduler math
+vs closed-form, UNet shape/grid invariants, end-to-end diffusion loss +
+sampling smoke (SURVEY.md §4 items 3-4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mink_octtree_stablediffusion_tpu as mt
+from mink_octtree_stablediffusion_tpu import diffusion as md
+from mink_octtree_stablediffusion_tpu import models as mm
+
+
+def sphere_tensor(rng, b=2, res=16, cap=512):
+    pts = rng.randn(b, 200, 3)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    vox = [mt.ops.sparse_quantize_np((p + 1) * (res / 2 - 0.51), 1.0)
+           for p in pts]
+    coords = mt.ops.batched_coordinates_np(vox)
+    cpad, vpad = mt.ops.pad_to_capacity(coords, cap)
+    st = jax.jit(lambda c, v: mt.sparse_tensor(
+        c, jnp.ones((cap, 1)), capacity=cap, batch_size=b, valid=v))(
+        jnp.asarray(cpad), jnp.asarray(vpad))
+    return st
+
+
+VAE_KW = dict(channels=(8, 16, 16, 16, 4),
+              encoder_capacities=(256, 64, 32, 32, 32),
+              decoder_capacities=(32, 256, 1024, 4096))
+
+
+def test_vae_forward_and_loss(rng):
+    st = sphere_tensor(rng)
+    vae = mm.VAE(**VAE_KW)
+    variables = jax.jit(vae.init)(jax.random.PRNGKey(0), st, st.grid,
+                                  jax.random.PRNGKey(1))
+
+    def run(v, s):
+        (out_clss, targets, sout, mean, log_var, z), new_state = vae.apply(
+            v, s, s.grid, jax.random.PRNGKey(1), mutable=["batch_stats"])
+        loss, aux = mm.vae_loss(out_clss, targets, mean, log_var)
+        return loss, aux, sout, targets
+
+    loss, aux, sout, targets = jax.jit(run)(variables, st)
+    assert np.isfinite(float(loss))
+    assert float(aux["bce"]) > 0
+    # training decode force-keeps targets → final level has >= target voxels
+    assert int(sout.count()) >= int(targets[-1].sum()) > 0
+    assert sout.tensor_stride == (1, 1, 1)
+
+
+def test_vae_grads_finite(rng):
+    st = sphere_tensor(rng)
+    vae = mm.VAE(**VAE_KW)
+    variables = jax.jit(vae.init)(jax.random.PRNGKey(0), st, st.grid,
+                                  jax.random.PRNGKey(1))
+
+    def loss_fn(params, s):
+        (out_clss, targets, _, mean, log_var, _), _ = vae.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            s, s.grid, jax.random.PRNGKey(1), mutable=["batch_stats"])
+        return mm.vae_loss(out_clss, targets, mean, log_var)[0]
+
+    g = jax.jit(jax.grad(loss_fn))(variables["params"], st)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+    assert total > 0
+
+
+def test_vq_layer(rng):
+    st = sphere_tensor(rng, b=1, cap=64)
+    st = st.with_features(jnp.asarray(rng.randn(64, 4).astype(np.float32))
+                          ).mask_features()
+    vq = mm.VectorQuantizer(num_embeddings=16, embedding_dim=4)
+    variables = jax.jit(vq.init)(jax.random.PRNGKey(0), st)
+    zq, idx, loss = jax.jit(lambda v, s: vq.apply(v, s))(variables, st)
+    cb = np.asarray(variables["params"]["embedding"])
+    zqn = np.asarray(zq.F)
+    v = np.asarray(st.valid)
+    # every quantized row is its nearest codebook entry
+    d = ((np.asarray(st.F)[:, None, :] - cb[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx)[v], d.argmin(1)[v])
+    np.testing.assert_allclose(zqn[v], cb[d.argmin(1)[v]], rtol=1e-5)
+    assert float(loss) >= 0
+
+
+def test_scheduler_matches_closed_form():
+    s = md.DDPMScheduler.create(num_train_timesteps=100)
+    x0 = jnp.ones((4, 2))
+    eps = jnp.full((4, 2), 0.5)
+    t = jnp.array([0, 10, 50, 99])
+    xt = s.add_noise(x0, eps, t)
+    ac = np.asarray(s.alphas_cumprod)[np.asarray(t)]
+    expect = np.broadcast_to(
+        np.sqrt(ac)[:, None] * 1.0 + np.sqrt(1 - ac)[:, None] * 0.5, (4, 2))
+    np.testing.assert_allclose(np.asarray(xt), expect, rtol=1e-5)
+
+    # DDIM with eta=0 at the final step recovers x0 exactly from exact eps
+    d = md.DDIMScheduler.create(num_train_timesteps=100)
+    xt_last = d.add_noise(x0, eps, jnp.array([5, 5, 5, 5]))
+    prev = d.step(eps, jnp.int32(5), jnp.int32(-1), xt_last, None)
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(x0), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_ddpm_step_reduces_toward_x0():
+    s = md.DDPMScheduler.create(num_train_timesteps=10)
+    x0 = jnp.ones((8, 4)) * 2.0
+    key = jax.random.PRNGKey(0)
+    eps = jax.random.normal(key, x0.shape)
+    t = jnp.int32(9)
+    xt = s.add_noise(x0, eps, t)
+    nxt = s.step(eps, t, jnp.int32(8), xt, jnp.zeros_like(x0))
+    # exact eps + no injected noise → prev sample == forward-noised x0 at t-1
+    # up to the posterior mean; it should be closer to x0 than xt
+    assert float(jnp.mean((nxt - x0) ** 2)) < float(jnp.mean((xt - x0) ** 2))
+
+
+UNET_KW = dict(channels=(4, 8, 16, 16), attn_max_len=64,
+               down_capacities=(32, 16, 8), group=4)
+
+
+def latent_tensor(rng, b=2, cap=64, c=4, stride=8, res=4):
+    vox = [np.unique(rng.randint(0, res, (20, 3)), axis=0) * stride
+           for _ in range(b)]
+    coords = mt.ops.batched_coordinates_np(vox)
+    cpad, vpad = mt.ops.pad_to_capacity(coords, cap)
+    feats = rng.randn(cap, c).astype(np.float32)
+    return jax.jit(lambda co, f, v: mt.sparse_tensor(
+        co, f, capacity=cap, batch_size=b, stride=stride, valid=v))(
+        jnp.asarray(cpad), jnp.asarray(feats), jnp.asarray(vpad))
+
+
+def test_unet_preserves_grid(rng):
+    lat = latent_tensor(rng)
+    unet = mm.UNet(**UNET_KW)
+    t = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t)
+    out = jax.jit(lambda v, x, t: unet.apply(v, x, t))(variables, lat, t)
+    # epsilon-prediction invariant: output coords == input coords
+    # (`diffusion.py:473` asserts the same)
+    np.testing.assert_array_equal(np.asarray(out.C), np.asarray(lat.C))
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(lat.valid))
+    assert out.F.shape == (64, 4)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+
+
+def test_diffusion_loss_and_sample(rng):
+    lat = latent_tensor(rng)
+    unet = mm.UNet(**UNET_KW)
+    t0 = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t0)
+    sched = md.DDPMScheduler.create(num_train_timesteps=100)
+
+    def unet_apply(noised, timesteps, ehs):
+        return unet.apply(variables, noised, timesteps, ehs)
+
+    loss, aux = jax.jit(lambda lat: md.diffusion_training_loss(
+        unet_apply, sched, lat, jax.random.PRNGKey(2),
+        nll_params=md.CoordNLLParams.create(), resolution=32))(lat)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(aux["nll_loss"]))
+
+    sampled = jax.jit(lambda lat: md.sample_latent(
+        unet_apply, sched, lat, jax.random.PRNGKey(3),
+        num_inference_steps=5))(lat)
+    assert np.all(np.isfinite(np.asarray(sampled.F)))
+    np.testing.assert_array_equal(np.asarray(sampled.C), np.asarray(lat.C))

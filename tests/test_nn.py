@@ -1,0 +1,219 @@
+"""NN-layer tests: sparse conv vs dense conv equivalence on a full grid,
+norm statistics, attention packing, generative growth, pooling — the op-level
+golden strategy from SURVEY.md §4.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mink_octtree_stablediffusion_tpu as mt
+from mink_octtree_stablediffusion_tpu import nn as mnn
+
+
+def full_grid_tensor(rng, res=4, c=3, b=1):
+    """SparseTensor occupying every voxel of a res^3 grid."""
+    g = np.stack(np.meshgrid(*([np.arange(res)] * 3), indexing="ij"),
+                 axis=-1).reshape(-1, 3)
+    coords = []
+    for bi in range(b):
+        coords.append(np.concatenate(
+            [np.full((len(g), 1), bi), g], axis=1))
+    coords = np.concatenate(coords).astype(np.int32)
+    feats = rng.randn(len(coords), c).astype(np.float32)
+    st = jax.jit(lambda co, f: mt.sparse_tensor(
+        co, f, capacity=len(coords), batch_size=b))(
+        jnp.asarray(coords), jnp.asarray(feats))
+    return st, coords, feats
+
+
+def test_sparse_conv_equals_dense_conv(rng):
+    """Generalized sparse conv on a fully-occupied grid == lax.conv (SAME).
+    This is the core correctness gate (SURVEY.md §4 item 2)."""
+    res, cin, cout = 4, 3, 5
+    st, coords, feats = full_grid_tensor(rng, res, cin)
+    conv = mnn.SparseConv(cout, kernel_size=3)
+    params = conv.init(jax.random.PRNGKey(1), st)
+    out = jax.jit(lambda p, s: conv.apply(p, s))(params, st)
+
+    # dense reference: NCDHW conv with the same (K, Cin, Cout) kernel
+    dense_in = np.zeros((1, cin, res, res, res), np.float32)
+    for i, (b, x, y, z) in enumerate(coords):
+        dense_in[0, :, x, y, z] = feats[i]
+    kernel = np.asarray(params["params"]["kernel"])  # [27, cin, cout]
+    # kernel offset order is C-order product over (dx,dy,dz) in {-1,0,1}
+    khwc = kernel.reshape(3, 3, 3, cin, cout)  # [dx,dy,dz,ci,co]
+    rhs = np.transpose(khwc, (4, 3, 0, 1, 2))  # OIXYZ
+    dense_out = jax.lax.conv_general_dilated(
+        jnp.asarray(dense_in), jnp.asarray(rhs), (1, 1, 1), "SAME")
+    dn = np.asarray(dense_out)
+
+    on = np.asarray(out.F)
+    cn = np.asarray(out.C)
+    for i in range(out.capacity):
+        if bool(out.valid[i]):
+            b, x, y, z = cn[i]
+            np.testing.assert_allclose(on[i], dn[0, :, x, y, z], rtol=2e-4,
+                                       atol=1e-4)
+
+
+def test_strided_conv_grid_and_linear_fastpath(rng):
+    st, coords, feats = full_grid_tensor(rng, 4, 3)
+    conv = mnn.SparseConv(4, kernel_size=2, stride=2, out_capacity=8)
+    params = conv.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda p, s: conv.apply(p, s))(params, st)
+    assert out.tensor_stride == (2, 2, 2)
+    assert int(out.count()) == 8  # 4^3 grid → 2^3 coarse voxels
+
+    lin = mnn.SparseConv(6, kernel_size=1)
+    p2 = lin.init(jax.random.PRNGKey(0), st)
+    o2 = jax.jit(lambda p, s: lin.apply(p, s))(p2, st)
+    np.testing.assert_allclose(
+        np.asarray(o2.F),
+        np.asarray(st.F) @ np.asarray(p2["params"]["kernel"][0]), rtol=2e-5,
+        atol=1e-5)
+
+
+def test_generative_transpose_grows_children(rng):
+    coords = np.array([[0, 0, 0, 0], [0, 2, 2, 2]], np.int32)
+    feats = rng.randn(2, 3).astype(np.float32)
+    st = jax.jit(lambda c, f: mt.sparse_tensor(c, f, capacity=2, stride=2))(
+        jnp.asarray(coords), jnp.asarray(feats))
+    up = mnn.GenerativeConvTranspose(4, out_capacity=16, kernel_size=2,
+                                     stride=2)
+    params = up.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda p, s: up.apply(p, s))(params, st)
+    assert out.tensor_stride == (1, 1, 1)
+    assert int(out.count()) == 16  # each parent grows 8 children
+    # children of parent at (0,0,0) are the {0,1}^3 cube
+    cn = set(map(tuple, np.asarray(out.C)[np.asarray(out.valid)].tolist()))
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                assert (0, dx, dy, dz) in cn
+                assert (0, 2 + dx, 2 + dy, 2 + dz) in cn
+
+
+def test_upsample_interpolate_copies_parent(rng):
+    coords = np.array([[0, 0, 0, 0], [0, 4, 2, 6]], np.int32)
+    feats = rng.randn(2, 5).astype(np.float32)
+    st = jax.jit(lambda c, f: mt.sparse_tensor(c, f, capacity=2, stride=2))(
+        jnp.asarray(coords), jnp.asarray(feats))
+    up = mnn.UpsampleInterpolate(out_capacity=16)
+    params = up.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda p, s: up.apply(p, s))(params, st)
+    cn, fn = np.asarray(out.C), np.asarray(out.F)
+    feats_by_parent = {tuple(c): f for c, f in zip(coords.tolist(), feats)}
+    for i in range(16):
+        if bool(out.valid[i]):
+            parent = (cn[i][0],) + tuple((cn[i][1:] // 2) * 2)
+            np.testing.assert_allclose(fn[i], feats_by_parent[parent],
+                                       rtol=1e-6)
+
+
+def test_batchnorm_masked_stats(rng):
+    st, coords, feats = full_grid_tensor(rng, 4, 3, b=2)
+    bn = mnn.BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), st)
+    out, updated = jax.jit(
+        lambda v, s: bn.apply(v, s, train=True, mutable=["batch_stats"])
+    )(variables, st)
+    f = np.asarray(out.F)[np.asarray(st.valid)]
+    np.testing.assert_allclose(f.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(f.std(0), 1.0, atol=1e-3)
+
+
+def test_instance_norm_per_instance(rng):
+    st, coords, feats = full_grid_tensor(rng, 4, 4, b=2)
+    m = mnn.InstanceNorm()
+    variables = m.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda v, s: m.apply(v, s))(variables, st)
+    f = np.asarray(out.F)
+    bid = np.asarray(st.C[:, 0])
+    v = np.asarray(st.valid)
+    for b in range(2):
+        g = f[v & (bid == b)]
+        np.testing.assert_allclose(g.mean(0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(g.std(0), 1.0, atol=1e-2)
+
+
+def test_stable_instance_norm_group_stats(rng):
+    st, _, _ = full_grid_tensor(rng, 4, 8, b=2)
+    m = mnn.StableInstanceNorm(group=4)
+    variables = m.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda v, s: m.apply(v, s))(variables, st)
+    f = np.asarray(out.F)
+    assert np.all(np.isfinite(f))
+    # group-averaged normalization: each group of 4 channels shares stats, so
+    # the concatenated group should have ~zero mean per instance
+    bid = np.asarray(st.C[:, 0])
+    v = np.asarray(st.valid)
+    g0 = f[v & (bid == 0)][:, :4]
+    np.testing.assert_allclose(g0.mean(), 0.0, atol=1e-3)
+
+
+def test_ada_stable_instance_norm_conditioning(rng):
+    st, _, _ = full_grid_tensor(rng, 4, 4, b=2)
+    m = mnn.AdaStableInstanceNorm()
+    emb = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), st, emb)
+    out = jax.jit(lambda v, s, e: m.apply(v, s, e))(variables, st, emb)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+
+
+def test_local_and_global_pool(rng):
+    st, coords, feats = full_grid_tensor(rng, 4, 3, b=2)
+    pool = mnn.LocalPool(kernel_size=2, stride=2, mode="max", out_capacity=16)
+    params = pool.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda p, s: pool.apply(p, s))(params, st)
+    assert int(out.count()) == 16  # 8 per instance
+    # max pool of the (0,0,0) output voxel == max over its 2^3 children
+    cn, fn = np.asarray(out.C), np.asarray(out.F)
+    kids = feats[(coords[:, 0] == 0) & np.all(coords[:, 1:] < 2, axis=1)]
+    i = next(i for i in range(16) if tuple(cn[i]) == (0, 0, 0, 0))
+    np.testing.assert_allclose(fn[i], kids.max(0), rtol=1e-6)
+
+    g = jax.jit(mnn.global_pool_features)(st)
+    v = np.asarray(st.valid)
+    bid = np.asarray(st.C[:, 0])
+    for b in range(2):
+        np.testing.assert_allclose(np.asarray(g)[b],
+                                   feats[v & (bid == b)].mean(0), rtol=1e-5)
+
+
+def test_sparse_transformer_masking(rng):
+    st, _, _ = full_grid_tensor(rng, 2, 8, b=2)
+    m = mnn.SparseTransformer(max_len=16)
+    variables = m.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda v, s: m.apply(v, s))(variables, st)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+    # padding rows stay zero
+    assert np.all(np.asarray(out.F)[~np.asarray(out.valid)] == 0)
+
+
+def test_se_layer_and_res_block(rng):
+    st, _, _ = full_grid_tensor(rng, 4, 8)
+    se = mnn.SELayer(reduction=4)
+    v = se.init(jax.random.PRNGKey(0), st)
+    out = jax.jit(lambda v, s: se.apply(v, s))(v, st)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+
+    blk = mnn.ResBasicBlock(planes=8)
+    variables = blk.init(jax.random.PRNGKey(0), st)
+    out, _ = jax.jit(lambda v, s: blk.apply(v, s, mutable=["batch_stats"]))(
+        variables, st)
+    assert out.F.shape == (st.capacity, 8)
+
+
+def test_basic_block_time_emb(rng):
+    st, _, _ = full_grid_tensor(rng, 4, 8, b=2)
+    blk = mnn.BasicBlock(channels=8, use_time_emb=True, group=4,
+                         with_attn=True, attn_max_len=64)
+    emb = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), st, emb)
+    out = jax.jit(lambda v, s, e: blk.apply(v, s, e))(variables, st, emb)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+    assert out.F.shape == (st.capacity, 8)
