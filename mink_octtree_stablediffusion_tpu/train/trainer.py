@@ -150,5 +150,6 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         restored = self.mngr.restore(
-            step, args=ocp.args.StandardRestore({"params": params_template}))
+            step, args=ocp.args.PyTreeRestore({"params": params_template},
+                                              partial_restore=True))
         return restored["params"]
