@@ -22,7 +22,7 @@ from .hashtable import HashTable, build_table, lookup, pack_keys
 from .interp import interpolate, interpolation_weights, splat, splat_coordinates
 from .kernels import KernelSpec, RegionType, region_offsets
 from .morton import morton_decode, morton_encode, morton_encode_np
-from .neighbors import identity_map, kernel_map, membership
+from .neighbors import get_coords_map, identity_map, kernel_map, membership
 from .pool import broadcast_batch, global_pool, local_pool_apply
 from .pruning import prune, top_k_mask
 from .reduce import reduce_by_inverse, slice_by_inverse
@@ -36,7 +36,7 @@ __all__ = [
     "pack_keys", "interpolate", "interpolation_weights", "splat",
     "splat_coordinates", "KernelSpec", "RegionType", "region_offsets",
     "morton_decode", "morton_encode", "morton_encode_np", "identity_map",
-    "kernel_map", "membership", "broadcast_batch", "global_pool",
+    "get_coords_map", "kernel_map", "membership", "broadcast_batch", "global_pool",
     "local_pool_apply", "prune", "top_k_mask", "reduce_by_inverse",
     "slice_by_inverse", "union",
 ]

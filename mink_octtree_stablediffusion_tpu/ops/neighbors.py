@@ -67,3 +67,20 @@ def identity_map(in_grid: SparseGrid, out_grid: SparseGrid) -> jnp.ndarray:
     stride-1 conv onto an explicitly provided coordinate key)."""
     return lookup_sorted(in_grid.coords, in_grid.valid, in_grid.stride,
                          out_grid.coords, out_grid.valid)
+
+
+def get_coords_map(fine_grid: SparseGrid, coarse_grid: SparseGrid
+                   ) -> jnp.ndarray:
+    """Stride map between two grids (reference `utils/coords.py:29`
+    ``get_coords_map``): each fine coordinate maps to the coarse voxel
+    containing it.  Returns int32[N_fine] coarse row per fine row (-1 if
+    absent).  Coarse stride must be a multiple of the fine stride."""
+    cs = np.asarray(coarse_grid.stride, np.int32)
+    fs = np.asarray(fine_grid.stride, np.int32)
+    assert np.all(cs % fs == 0), "coarse stride must divide by fine stride"
+    csj = jnp.asarray(cs)
+    down = jnp.concatenate(
+        [fine_grid.coords[:, :1],
+         jnp.floor_divide(fine_grid.coords[:, 1:], csj) * csj], axis=-1)
+    return lookup_sorted(coarse_grid.coords, coarse_grid.valid,
+                         coarse_grid.stride, down, fine_grid.valid)

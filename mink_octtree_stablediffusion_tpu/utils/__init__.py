@@ -3,5 +3,7 @@
 from .diagnostics import print_diagnostics
 from .gradcheck import gradcheck
 from .summary import count_params, summary
+from .viz import render_pointclouds, sparse_tensor_clouds
 
-__all__ = ["print_diagnostics", "gradcheck", "count_params", "summary"]
+__all__ = ["print_diagnostics", "gradcheck", "count_params", "summary",
+           "render_pointclouds", "sparse_tensor_clouds"]
