@@ -57,7 +57,8 @@ def main():
     @jax.jit
     def conv_fwd(cpad, valid, feats, kernel):
         grid, inverse, _ = mt.ops.make_grid(cpad, valid, CAPACITY,
-                                            batch_size=1)
+                                            batch_size=1,
+                                            extent=(160, 160, 60))
         f = mt.ops.reduce_by_inverse(feats, inverse, valid, CAPACITY, "sum")
         nbr = mt.ops.kernel_map(grid, grid, spec)
         return mt.ops.sparse_conv_apply(f, kernel, nbr)

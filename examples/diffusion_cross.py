@@ -121,7 +121,8 @@ def main():
     def build(cpad, valid):
         feats = jnp.ones((cap, 1)) * valid[:, None]
         return mt.sparse_tensor(cpad, feats, capacity=cap, batch_size=b,
-                                valid=valid)
+                                valid=valid,
+                                extent=(args.resolution,) * 3)
 
     samples = [ds[i] for i in range(b)]
     cpad, valid, _, _ = collate_pointclouds([s["coords"] for s in samples],

@@ -97,7 +97,7 @@ def main():
     def build(cpad, valid):
         feats = jnp.ones((cap, 1)) * valid[:, None]
         return mt.sparse_tensor(cpad, feats, capacity=cap, batch_size=b,
-                                valid=valid)
+                                valid=valid, extent=(cfg.resolution,) * 3)
 
     cpad, valid, _, _ = collate_pointclouds(
         [ds[i]["coords"] for i in range(b)], cap, cfg.max_batch_len)

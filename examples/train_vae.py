@@ -89,7 +89,8 @@ def main():
 
     def build(cpad, valid, feats):
         return mt.sparse_tensor(cpad, feats, capacity=cap,
-                                batch_size=cfg.batch_size, valid=valid)
+                                batch_size=cfg.batch_size, valid=valid,
+                                extent=(cfg.resolution,) * 3)
 
     st0 = build(jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
     rng = jax.random.PRNGKey(cfg.seed)

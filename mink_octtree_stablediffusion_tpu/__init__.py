@@ -16,6 +16,7 @@ from . import data, diffusion, models, nn, ops, parallel, tensor, train, utils
 from .ops import SparseGrid
 from .tensor import (
     SparseTensor,
+    cat_slice,
     TensorField,
     cat,
     interpolate_at,
@@ -31,6 +32,6 @@ __all__ = [
     "data", "diffusion", "models", "nn", "ops", "parallel", "tensor",
     "train", "SparseGrid",
     "SparseTensor", "TensorField",
-    "cat", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
+    "cat", "cat_slice", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
     "stack_sum", "stack_var", "to_sparse_dense", "__version__",
 ]

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.search import lookup_sorted
+from ..ops.neighbors import grid_lookup
 from ..ops.conv import gather_rows
 from ..tensor import SparseTensor, TensorField
 from ..nn.conv import SparseConv
@@ -33,8 +33,7 @@ def field_slice(tensor: SparseTensor, field: TensorField) -> jnp.ndarray:
         [field.coordinates[:, :1].astype(jnp.int32),
          (jnp.floor(field.coordinates[:, 1:] / s) * s).astype(jnp.int32)],
         axis=-1)
-    idx = lookup_sorted(tensor.grid.coords, tensor.grid.valid,
-                        tensor.grid.stride, vox, field.valid)
+    idx = grid_lookup(tensor.grid, vox, field.valid)
     return gather_rows(tensor.features, idx)
 
 

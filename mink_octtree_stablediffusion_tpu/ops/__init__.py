@@ -22,7 +22,9 @@ from .hashtable import HashTable, build_table, lookup, pack_keys
 from .interp import interpolate, interpolation_weights, splat, splat_coordinates
 from .kernels import KernelSpec, RegionType, region_offsets
 from .morton import morton_decode, morton_encode, morton_encode_np
-from .neighbors import get_coords_map, identity_map, kernel_map, membership
+from .lut import LUT_MAX_ENTRIES, build_lut, lut_lookup
+from .neighbors import get_coords_map, grid_lookup, identity_map, kernel_map, membership
+from .search import lookup_sorted
 from .pool import broadcast_batch, global_pool, local_pool_apply
 from .pruning import prune, top_k_mask
 from .reduce import reduce_by_inverse, slice_by_inverse
@@ -36,7 +38,8 @@ __all__ = [
     "pack_keys", "interpolate", "interpolation_weights", "splat",
     "splat_coordinates", "KernelSpec", "RegionType", "region_offsets",
     "morton_decode", "morton_encode", "morton_encode_np", "identity_map",
-    "get_coords_map", "kernel_map", "membership", "broadcast_batch", "global_pool",
+    "get_coords_map", "grid_lookup", "kernel_map", "membership",
+    "LUT_MAX_ENTRIES", "build_lut", "lut_lookup", "lookup_sorted", "broadcast_batch", "global_pool",
     "local_pool_apply", "prune", "top_k_mask", "reduce_by_inverse",
     "slice_by_inverse", "union",
 ]

@@ -15,7 +15,7 @@ of the dedup sort for free and is an invariant of every SparseGrid.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,11 @@ class SparseGrid(struct.PyTreeNode):
     valid: jnp.ndarray  # bool[N_cap]
     stride: Tuple[int, ...] = struct.field(pytree_node=False, default=(1, 1, 1))
     batch_size: int = struct.field(pytree_node=False, default=1)
+    # static spatial bound: all valid coords lie in [0, extent) per dim (at
+    # stride-1 lattice units).  Enables the dense-LUT query fast path
+    # (`ops.lut`); None -> unbounded, queries use sorted binary search.
+    extent: Optional[Tuple[int, ...]] = struct.field(pytree_node=False,
+                                                    default=None)
 
     @property
     def capacity(self) -> int:
@@ -131,6 +136,7 @@ def make_grid(
     capacity: int | None = None,
     stride=1,
     batch_size: int = 1,
+    extent: Sequence[int] | None = None,
 ):
     """Dedup + canonicalize raw batched coords into a SparseGrid.
 
@@ -141,7 +147,8 @@ def make_grid(
     capacity = capacity or coords.shape[0]
     uc, uv, inverse, count = unique_coords(coords, valid, capacity, stride)
     grid = SparseGrid(
-        coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size
+        coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size,
+        extent=None if extent is None else tuple(int(e) for e in extent),
     )
     return grid, inverse, count
 
@@ -167,7 +174,8 @@ def stride_grid(grid: SparseGrid, stride, capacity: int | None = None) -> Sparse
     down = jnp.where(grid.valid[:, None], down, INVALID_COORD)
     cap = capacity or grid.capacity
     uc, uv, _, _ = unique_coords(down, grid.valid, cap, new_stride)
-    return SparseGrid(coords=uc, valid=uv, stride=new_stride, batch_size=grid.batch_size)
+    return SparseGrid(coords=uc, valid=uv, stride=new_stride,
+                      batch_size=grid.batch_size, extent=grid.extent)
 
 
 def expand_grid(
@@ -191,9 +199,15 @@ def expand_grid(
     cand_valid = jnp.repeat(grid.valid, k)
     cand = jnp.where(cand_valid[:, None], cand, INVALID_COORD)
     uc, uv, _, _ = unique_coords(cand, cand_valid, capacity, tuple(out_stride))
+    # children stay inside [0, extent) iff offsets are non-negative and do
+    # not reach past the parent cell (true for the k2-s2 octree growth)
+    keep_extent = grid.extent is not None and offsets.min() >= 0 and all(
+        offsets[:, i].max() <= gs - os
+        for i, (gs, os) in enumerate(zip(grid.stride, out_stride)))
     return SparseGrid(
         coords=uc, valid=uv, stride=tuple(int(s) for s in out_stride),
         batch_size=grid.batch_size,
+        extent=grid.extent if keep_extent else None,
     )
 
 

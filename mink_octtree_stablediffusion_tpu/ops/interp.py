@@ -16,7 +16,7 @@ import itertools
 import jax.numpy as jnp
 import numpy as np
 
-from .search import lookup_sorted
+from .neighbors import grid_lookup
 from .coords import INVALID_COORD, SparseGrid, unique_coords
 from .conv import gather_rows
 
@@ -59,9 +59,8 @@ def interpolate(
     corner_coords, w = interpolation_weights(points, grid.stride)
     k, m, nf = corner_coords.shape
     q_valid = jnp.tile(points_valid, (k,))
-    idx = lookup_sorted(grid.coords, grid.valid, grid.stride,
-                        corner_coords.reshape(k * m, nf), q_valid
-                        ).reshape(k, m)
+    idx = grid_lookup(grid, corner_coords.reshape(k * m, nf), q_valid
+                      ).reshape(k, m)
     out = 0.0
     for kk in range(k):
         out = out + gather_rows(features, idx[kk]) * w[kk][:, None]
@@ -95,9 +94,8 @@ def splat(
     k, m, nf = corner_coords.shape
     n = grid.capacity
     q_valid = jnp.tile(points_valid, (k,))
-    idx = lookup_sorted(grid.coords, grid.valid, grid.stride,
-                        corner_coords.reshape(k * m, nf), q_valid
-                        ).reshape(k, m)
+    idx = grid_lookup(grid, corner_coords.reshape(k * m, nf), q_valid
+                      ).reshape(k, m)
     acc = jnp.zeros((n + 1, point_features.shape[1]), dtype=point_features.dtype)
     pf = point_features * points_valid[:, None].astype(point_features.dtype)
     for kk in range(k):

@@ -22,7 +22,26 @@ import numpy as np
 
 from .coords import SparseGrid
 from .kernels import KernelSpec
+from .lut import LUT_MAX_ENTRIES, build_lut, lut_entries, lut_lookup
 from .search import lookup_sorted
+
+
+def grid_lookup(grid: SparseGrid, queries: jnp.ndarray,
+                queries_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Coordinate → row query with automatic strategy: a dense LUT
+    (`ops.lut`, one direct gather) when the grid has a bounded extent small
+    enough, else static binary search over the canonical order
+    (`ops.search`).  Repeated calls on the same grid inside one jit share the
+    LUT build via XLA CSE (the reference memoizes kernel maps the same way,
+    `docs/benchmark.md:3`)."""
+    if grid.extent is not None and lut_entries(
+            grid.extent, grid.stride, grid.batch_size) <= LUT_MAX_ENTRIES:
+        table = build_lut(grid.coords, grid.valid, grid.stride, grid.extent,
+                          grid.batch_size)
+        return lut_lookup(table, grid.stride, grid.extent, grid.batch_size,
+                          queries, queries_valid)
+    return lookup_sorted(grid.coords, grid.valid, grid.stride, queries,
+                         queries_valid)
 
 
 def kernel_map(
@@ -45,8 +64,7 @@ def kernel_map(
     q_b = jnp.broadcast_to(out_grid.coords[None, :, :1], (k, n_out, 1))
     queries = jnp.concatenate([q_b, q_xyz], axis=-1).reshape(k * n_out, -1)
     q_valid = jnp.broadcast_to(out_grid.valid[None, :], (k, n_out)).reshape(-1)
-    idx = lookup_sorted(in_grid.coords, in_grid.valid, in_grid.stride,
-                        queries, q_valid)
+    idx = grid_lookup(in_grid, queries, q_valid)
     return idx.reshape(k, n_out)
 
 
@@ -56,17 +74,14 @@ def membership(query_grid: SparseGrid, target_grid: SparseGrid) -> jnp.ndarray:
     The decoder's ``get_target`` (`examples/ae_res.py:556-570`) does this via a
     kernel_size-1 kernel map; a single sorted-membership probe is equivalent.
     """
-    idx = lookup_sorted(target_grid.coords, target_grid.valid,
-                        target_grid.stride, query_grid.coords,
-                        query_grid.valid)
+    idx = grid_lookup(target_grid, query_grid.coords, query_grid.valid)
     return (idx >= 0) & query_grid.valid
 
 
 def identity_map(in_grid: SparseGrid, out_grid: SparseGrid) -> jnp.ndarray:
     """Row map out→in for grids over identical coordinate sets (e.g. pinning a
     stride-1 conv onto an explicitly provided coordinate key)."""
-    return lookup_sorted(in_grid.coords, in_grid.valid, in_grid.stride,
-                         out_grid.coords, out_grid.valid)
+    return grid_lookup(in_grid, out_grid.coords, out_grid.valid)
 
 
 def get_coords_map(fine_grid: SparseGrid, coarse_grid: SparseGrid
@@ -82,5 +97,4 @@ def get_coords_map(fine_grid: SparseGrid, coarse_grid: SparseGrid
     down = jnp.concatenate(
         [fine_grid.coords[:, :1],
          jnp.floor_divide(fine_grid.coords[:, 1:], csj) * csj], axis=-1)
-    return lookup_sorted(coarse_grid.coords, coarse_grid.valid,
-                         coarse_grid.stride, down, fine_grid.valid)
+    return grid_lookup(coarse_grid, down, fine_grid.valid)

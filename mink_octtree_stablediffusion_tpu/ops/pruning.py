@@ -39,6 +39,7 @@ def prune(
             valid=new_valid,
             stride=grid.stride,
             batch_size=grid.batch_size,
+            extent=grid.extent,
         ),
         new_feats,
     )

@@ -36,7 +36,12 @@ def union(
         [f * g.valid[:, None].astype(f.dtype) for f, g in zip(features, grids)], axis=0
     )
     acc = acc.at[inverse].add(all_feats)
+    extents = [g.extent for g in grids]
+    extent = None
+    if all(e is not None for e in extents):
+        extent = tuple(max(e[i] for e in extents) for i in range(g0.ndim))
     out_grid = SparseGrid(
-        coords=uc, valid=uv, stride=g0.stride, batch_size=g0.batch_size
+        coords=uc, valid=uv, stride=g0.stride, batch_size=g0.batch_size,
+        extent=extent,
     )
     return out_grid, acc[:cap]

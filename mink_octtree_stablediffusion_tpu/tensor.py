@@ -203,6 +203,7 @@ def sparse_tensor(
     batch_size: int = 1,
     valid: jnp.ndarray | None = None,
     quantization_mode: str = "sum",
+    extent: Optional[Sequence[int]] = None,
 ) -> SparseTensor:
     """Build a SparseTensor from possibly-duplicated raw coordinates — the
     reference constructor path (`MinkowskiSparseTensor.py:122-345`): dedup via
@@ -211,7 +212,8 @@ def sparse_tensor(
     n = coordinates.shape[0]
     cap = capacity or n
     v = valid if valid is not None else jnp.ones((n,), bool)
-    grid, inverse, _ = make_grid(coordinates, v, cap, stride, batch_size)
+    grid, inverse, _ = make_grid(coordinates, v, cap, stride, batch_size,
+                                 extent=extent)
     f = reduce_by_inverse(features, inverse, v, cap, mode=quantization_mode)
     return SparseTensor(grid=grid, features=f).mask_features()
 
@@ -351,3 +353,12 @@ def to_sparse_dense(dense: jnp.ndarray, capacity: int,
     grid, inverse, _ = make_grid(coords[order], sel_valid, capacity, stride, b)
     f = reduce_by_inverse(x[order], inverse, sel_valid, capacity, mode="sum")
     return SparseTensor(grid=grid, features=f).mask_features()
+
+
+def cat_slice(tensor: SparseTensor, field: TensorField,
+              inverse: jnp.ndarray) -> TensorField:
+    """Concatenate each point's own features with its voxel's features —
+    the reference's `SparseTensor.cat_slice` (`MinkowskiSparseTensor.py:634-688`)."""
+    sliced = slice_by_inverse(tensor.features, inverse, field.valid)
+    return field.with_features(
+        jnp.concatenate([field.features, sliced], axis=-1))

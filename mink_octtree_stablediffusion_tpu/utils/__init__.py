@@ -1,9 +1,9 @@
 """Utilities: diagnostics, model summary, numeric grad checking, init."""
 
-from .diagnostics import print_diagnostics
+from .diagnostics import get_device_memory_info, print_diagnostics
 from .gradcheck import gradcheck
 from .summary import count_params, summary
 from .viz import render_pointclouds, sparse_tensor_clouds
 
-__all__ = ["print_diagnostics", "gradcheck", "count_params", "summary",
+__all__ = ["get_device_memory_info", "print_diagnostics", "gradcheck", "count_params", "summary",
            "render_pointclouds", "sparse_tensor_clouds"]

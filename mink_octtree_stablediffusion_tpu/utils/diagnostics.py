@@ -28,3 +28,15 @@ def print_diagnostics(file=sys.stdout):
         print("  device:", d, file=file)
     print("process_count:", jax.process_count(), file=file)
     print("=" * 46, file=file)
+
+
+def get_device_memory_info(device=None) -> dict:
+    """Device memory statistics (reference `ME.get_gpu_memory_info`,
+    `pybind/extern.hpp:832-838`); keys depend on the platform runtime."""
+    import jax
+
+    d = device or jax.devices()[0]
+    try:
+        return dict(d.memory_stats() or {})
+    except Exception:
+        return {}

@@ -136,3 +136,35 @@ def test_jit_traceable(rng):
 
     idx, n = f(jnp.asarray(coords), jnp.ones(100, bool))
     assert np.all(np.asarray(idx) >= 0)
+
+
+def test_lut_matches_sorted_lookup(rng):
+    """Dense-LUT fast path must agree exactly with binary search."""
+    import jax
+    import jax.numpy as jnp
+    from mink_octtree_stablediffusion_tpu import ops, sparse_tensor
+
+    coords = np.concatenate(
+        [rng.randint(0, 2, (48, 1)), rng.randint(0, 16, (48, 3))],
+        axis=1).astype(np.int32)
+    st = jax.jit(lambda c: sparse_tensor(
+        c, jnp.ones((48, 1)), capacity=64, batch_size=2,
+        extent=(16, 16, 16)))(jnp.asarray(coords))
+    grid = st.grid
+    assert grid.extent == (16, 16, 16)
+    q = coords.copy()
+    q[:, 1:] += rng.randint(-2, 3, (48, 3))  # some off-grid / out-of-extent
+    qv = jnp.ones((48,), bool)
+    lut_idx = np.asarray(jax.jit(
+        lambda g, q: ops.grid_lookup(g, q, qv))(grid, jnp.asarray(q)))
+    srt_idx = np.asarray(jax.jit(
+        lambda g, q: ops.lookup_sorted(g.coords, g.valid, g.stride, q, qv))(
+        grid, jnp.asarray(q)))
+    np.testing.assert_array_equal(lut_idx, srt_idx)
+    # extent survives striding and the octree grow/prune cycle
+    coarse = ops.stride_grid(grid, 2, 64)
+    assert coarse.extent == (16, 16, 16)
+    spec = ops.KernelSpec(2, 2, ndim=3, transpose=True)
+    grown = ops.expand_grid(coarse, spec.absolute_offsets(coarse.stride),
+                            (1, 1, 1), 512)
+    assert grown.extent == (16, 16, 16)
