@@ -53,6 +53,22 @@ class TextEncoder:
                 logging.getLogger(__name__).warning(
                     "CLIP unavailable (%s); falling back to random cond", e)
                 self.mode = "random"
+        elif mode == "clip-image":
+            # `diffusion_cross_image.py:838-842`: CLIPVisionModel embeddings
+            # [B, 257, 1024]; rendered views are preprocessed offline.  In
+            # zero-egress environments this degrades to the random table.
+            try:
+                import torch  # noqa
+                from transformers import CLIPImageProcessor, CLIPVisionModel
+
+                self.proc = CLIPImageProcessor.from_pretrained(clip_path)
+                self.model = CLIPVisionModel.from_pretrained(clip_path)
+                self.model.eval()
+                self.seq_len, self.dim = 257, 1024
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "CLIP vision unavailable (%s); random cond", e)
+                self.mode = "random"
 
     def __call__(self, captions):
         if self.mode == "clip-text":
@@ -83,7 +99,7 @@ def main():
     p.add_argument("--unet_channel", type=int, nargs=4,
                    default=[4, 8, 16, 16])
     p.add_argument("--cond", default="random",
-                   choices=["random", "clip-text"])
+                   choices=["random", "clip-text", "clip-image"])
     p.add_argument("--cross_attention_dim", type=int, default=768)
     p.add_argument("--group", type=int, default=4)
     p.add_argument("--vae_scale", type=float, default=0.1428)

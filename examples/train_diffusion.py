@@ -61,6 +61,14 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--input_capacity", type=int, default=65536)
     p.add_argument("--sample_steps", type=int, default=50)
+    # noise-point augmentation (`diffusion.py:385-437`) and the no-VAE
+    # variant that diffuses occupancy features directly
+    # (`diffusion_noVae.py:372`: clean = sin)
+    p.add_argument("--noise_point_mode", default="none",
+                   choices=["none", "uniform", "all"])
+    p.add_argument("--noise_point_max", type=int, default=64)
+    p.add_argument("--noise_near", action="store_true")
+    p.add_argument("--no_vae", action="store_true")
     return p.parse_args()
 
 
@@ -112,7 +120,12 @@ def main():
         vae_vars = {**vae_vars, "params": vae_params}
     vae_vars = jax.tree.map(jax.lax.stop_gradient, vae_vars)
 
+    latent_stride = 8
+    latent_res = max(cfg.resolution // latent_stride, 1)
+
     def encode(st):
+        if cfg.no_vae:
+            return st  # diffuse occupancy features directly
         mean, _ = vae.apply(
             {"params": vae_vars["params"],
              "batch_stats": vae_vars.get("batch_stats", {})},
@@ -135,6 +148,12 @@ def main():
         cpad, valid = batch
         st = build(cpad, valid)
         latent = encode(st)
+        if cfg.noise_point_mode != "none" or cfg.noise_near:
+            rng, r_np = jax.random.split(rng)
+            latent = md.inject_noise_points(
+                latent, r_np, cfg.noise_point_mode, latent_res,
+                cfg.noise_point_max, capacity=latent.capacity,
+                noise_near=cfg.noise_near)
 
         def unet_apply(noised, timesteps, ehs):
             return unet.apply({"params": params["unet"]}, noised, timesteps,
