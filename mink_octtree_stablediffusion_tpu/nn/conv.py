@@ -90,7 +90,8 @@ class SparseConv(nn.Module):
                 out_grid = stride_grid(x.grid, spec.stride,
                                        self.out_capacity or x.capacity)
         nbr = kernel_map(x.grid, out_grid, spec)
-        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias,
+                                compute_dtype=self.dtype)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 
@@ -120,7 +121,8 @@ class SparseConvTranspose(nn.Module):
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
         nbr = kernel_map(x.grid, out_grid, spec)
-        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias,
+                                compute_dtype=self.dtype)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 
@@ -150,7 +152,8 @@ class GenerativeConvTranspose(nn.Module):
         offs = spec.absolute_offsets(x.tensor_stride)
         out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
         nbr = kernel_map(x.grid, out_grid, spec)
-        out = sparse_conv_apply(x.features, kernel, nbr, bias)
+        out = sparse_conv_apply(x.features, kernel, nbr, bias,
+                                compute_dtype=self.dtype)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 

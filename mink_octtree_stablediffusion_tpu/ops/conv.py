@@ -32,6 +32,7 @@ def sparse_conv_apply(
     nbr_idx: jnp.ndarray,  # int32[K, N_out]
     bias: jnp.ndarray | None = None,
     fused_threshold: int = 1 << 21,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Apply a sparse convolution given a precomputed kernel map.
 
@@ -46,16 +47,23 @@ def sparse_conv_apply(
     cin = features.shape[1]
     cout = kernel.shape[2]
     dtype = features.dtype
+    # bf16 MXU path: gather/GEMM in compute_dtype, fp32 accumulation
+    cd = compute_dtype or dtype
+    f = features.astype(cd)
+    kern = kernel.astype(cd)
 
     if k * n_out * cin <= fused_threshold:
-        g = jax.vmap(lambda ix: gather_rows(features, ix))(nbr_idx)  # [K, N_out, Cin]
+        g = jax.vmap(lambda ix: gather_rows(f, ix))(nbr_idx)  # [K, N_out, Cin]
         g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, k * cin)
-        out = g @ kernel.reshape(k * cin, cout).astype(dtype)
+        out = jnp.dot(g, kern.reshape(k * cin, cout),
+                      preferred_element_type=jnp.float32)
     else:
-        out = jnp.zeros((n_out, cout), dtype=dtype)
+        out = jnp.zeros((n_out, cout), dtype=jnp.float32)
         for kk in range(k):
-            g = gather_rows(features, nbr_idx[kk])
-            out = out + g @ kernel[kk].astype(dtype)
+            g = gather_rows(f, nbr_idx[kk])
+            out = out + jnp.dot(g, kern[kk],
+                                preferred_element_type=jnp.float32)
+    out = out.astype(dtype)
     if bias is not None:
         out = out + bias.astype(dtype)
     return out
