@@ -39,6 +39,10 @@ def collate_pointclouds(
     kept = list(order)
     while kept and sum(sizes[i] for i in kept) > budget:
         kept.pop()
+    if not kept:
+        # every sample alone exceeds the budget: keep the smallest,
+        # truncated by pad_to_capacity (deterministic, never empty)
+        kept = [int(order[0])]
     kept = sorted(kept)
 
     coords = batched_coordinates_np([coords_list[i] for i in kept])

@@ -47,7 +47,9 @@ class BatchNorm(nn.Module):
             n = jnp.sum(w)
             s1 = jnp.sum(x.features * w[:, None], axis=0)
             s2 = jnp.sum(x.features ** 2 * w[:, None], axis=0)
-            if self.axis_name is not None:
+            # cross-replica sync (SyncBN); skipped at init time, when the
+            # module may be built outside the shard_map scope
+            if self.axis_name is not None and not self.is_initializing():
                 n = jax.lax.psum(n, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)
                 s2 = jax.lax.psum(s2, self.axis_name)

@@ -55,3 +55,18 @@ def shard_batch_pytree(batch: Any, mesh: Mesh, axis_name: str = "data"):
     """
     sh = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up over DCN (replaces the reference's
+    `dist.init_process_group(backend="nccl", tcp://...)`,
+    `examples/multigpu_ddp.py:81-86`).  With no arguments, uses the standard
+    JAX cluster auto-detection; afterwards the same single-program
+    data-parallel code spans hosts."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
