@@ -12,13 +12,21 @@ Prints ONE JSON line:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
+try:  # fall back to CPU if the TPU backend is unreachable (flaky tunnel)
+    jax.devices()
+except RuntimeError as e:
+    print(f"[bench] default backend unavailable ({e}); using CPU",
+          file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
 
 import mink_octtree_stablediffusion_tpu as mt  # noqa: E402
 

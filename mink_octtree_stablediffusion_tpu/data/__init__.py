@@ -3,12 +3,14 @@
 from .collate import collate_fields, collate_pointclouds, stack_devices
 from .datasets import (
     ModelNet40Dataset,
+    ObjaverseDataset,
     ShapeNetDataset,
     SyntheticShapes,
     batch_iterator,
     load_off,
 )
 from .mesh import (
+    load_glb,
     normalize_to_resolution,
     point_budget,
     resample_mesh,
@@ -18,7 +20,7 @@ from .mesh import (
 
 __all__ = [
     "collate_fields", "collate_pointclouds", "stack_devices",
-    "ModelNet40Dataset", "ShapeNetDataset", "SyntheticShapes",
-    "batch_iterator", "load_off", "normalize_to_resolution", "point_budget",
+    "ModelNet40Dataset", "ObjaverseDataset", "ShapeNetDataset", "SyntheticShapes",
+    "batch_iterator", "load_glb", "load_off", "normalize_to_resolution", "point_budget",
     "resample_mesh", "resample_mesh_count", "rotate_point_cloud",
 ]

@@ -169,3 +169,58 @@ def batch_iterator(dataset, batch_size: int, rng: np.random.RandomState,
         rng.shuffle(idx)
     for i in range(0, len(idx) - batch_size + 1, batch_size):
         yield [dataset[int(j)] for j in idx[i:i + batch_size]]
+
+
+class ObjaverseDataset:
+    """Objaverse GLB meshes with optional pre-rendered-view image conditions
+    (reference `examples/dataset.py:345-452`): GLB → area-uniform resample →
+    scale to resolution → voxelize; `image_dir/<uid>.npy` holds the
+    preprocessed CLIP-vision pixel inputs per object when image conditioning
+    is used."""
+
+    def __init__(self, root: str, resolution: int = 128,
+                 image_dir: Optional[str] = None,
+                 cache_dir: Optional[str] = None, seed: int = 0):
+        self.root = root
+        self.resolution = resolution
+        self.image_dir = image_dir
+        self.cache_dir = cache_dir
+        self.rng = np.random.RandomState(seed)
+        self.files: List[str] = []
+        if os.path.isdir(root):
+            for dirpath, _, names in os.walk(root):
+                for n in sorted(names):
+                    if n.endswith(".glb"):
+                        self.files.append(os.path.join(dirpath, n))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        from .mesh import load_glb, resample_mesh_count
+
+        path = self.files[idx]
+        uid = os.path.splitext(os.path.basename(path))[0]
+        cache = None
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            cache = os.path.join(self.cache_dir,
+                                 f"{uid}.r{self.resolution}.npy")
+        if cache and os.path.exists(cache):
+            xyz = np.load(cache)
+        else:
+            verts, faces = load_glb(path)
+            lo, _ = point_budget(self.resolution)
+            xyz = resample_mesh_count(verts, faces,
+                                      max(lo, 2 * self.resolution ** 2),
+                                      self.rng)
+            xyz = normalize_to_resolution(xyz, self.resolution)
+            if cache:
+                np.save(cache, xyz.astype(np.float32))
+        out = {"coords": sparse_quantize_np(xyz, 1.0), "xyz": xyz,
+               "label": 0, "uid": uid}
+        if self.image_dir:
+            img = os.path.join(self.image_dir, f"{uid}.npy")
+            if os.path.exists(img):
+                out["image_cond"] = np.load(img)
+        return out

@@ -79,3 +79,70 @@ def rotate_point_cloud(xyz: np.ndarray, rng: np.random.RandomState,
              @ rot(rng.uniform(0, 2 * np.pi), (0, 0, 1)))
     center = xyz.mean(0)
     return (xyz - center) @ m.T + center
+
+
+def load_glb(path: str):
+    """Minimal GLB (glTF binary) mesh reader: positions + triangle indices of
+    every mesh primitive, concatenated.  Covers the Objaverse dataset's GLB
+    inputs (reference `examples/dataset.py:345-452`) without external mesh
+    libraries."""
+    import json as _json
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        magic, version, _length = _struct.unpack("<III", f.read(12))
+        assert magic == 0x46546C67, "not a GLB file"
+        data = f.read()
+    # chunk 0: JSON, chunk 1: BIN
+    off = 0
+    gltf, bin_buf = None, None
+    while off < len(data):
+        clen, ctype = _struct.unpack_from("<II", data, off)
+        chunk = data[off + 8: off + 8 + clen]
+        if ctype == 0x4E4F534A:
+            gltf = _json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:
+            bin_buf = chunk
+        off += 8 + clen + (-clen) % 4
+
+    def read_accessor(idx):
+        acc = gltf["accessors"][idx]
+        view = gltf["bufferViews"][acc["bufferView"]]
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        comp = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+                5123: np.uint16, 5125: np.uint32, 5126: np.float32}[
+            acc["componentType"]]
+        ncomp = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}[acc["type"]]
+        count = acc["count"]
+        stride = view.get("byteStride")
+        itemsize = np.dtype(comp).itemsize * ncomp
+        if stride and stride != itemsize:
+            rows = [np.frombuffer(bin_buf, comp, ncomp, start + i * stride)
+                    for i in range(count)]
+            arr = np.stack(rows)
+        else:
+            arr = np.frombuffer(bin_buf, comp, count * ncomp, start).reshape(
+                count, ncomp)
+        return arr
+
+    verts_all, faces_all, base = [], [], 0
+    for mesh in gltf.get("meshes", []):
+        for prim in mesh.get("primitives", []):
+            if "POSITION" not in prim.get("attributes", {}):
+                continue
+            v = read_accessor(prim["attributes"]["POSITION"]).astype(
+                np.float64)
+            if "indices" in prim:
+                idx = read_accessor(prim["indices"]).reshape(-1).astype(
+                    np.int64)
+            else:
+                idx = np.arange(len(v), dtype=np.int64)
+            mode = prim.get("mode", 4)
+            if mode != 4:  # triangles only
+                continue
+            verts_all.append(v)
+            faces_all.append(idx.reshape(-1, 3) + base)
+            base += len(v)
+    if not verts_all:
+        raise ValueError(f"no triangle meshes in {path}")
+    return np.concatenate(verts_all), np.concatenate(faces_all)
