@@ -1,0 +1,119 @@
+"""Secondary benchmark: full 3D generation throughput — 64-step DDIM
+denoising on the sparse latent + pruning-decoder re-growth, the driver
+target metric "sec/sample for 64-step DDIM" (BASELINE.md).
+
+Prints ONE JSON line like bench.py.  `--tiny` shrinks the model for CPU
+smoke runs.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+try:
+    jax.devices()
+except RuntimeError as e:
+    print(f"[bench_ddim] default backend unavailable ({e}); using CPU",
+          file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+import mink_octtree_stablediffusion_tpu as mt  # noqa: E402
+from mink_octtree_stablediffusion_tpu import diffusion as md  # noqa: E402
+from mink_octtree_stablediffusion_tpu import models as mm  # noqa: E402
+from mink_octtree_stablediffusion_tpu.data import (  # noqa: E402
+    SyntheticShapes, collate_pointclouds)
+
+# The reference publishes no sampling-rate numbers; the driver target is
+# ">=10x CPU-reference throughput per chip".  We record absolute s/sample and
+# report vs_baseline against a 1.0 s/sample nominal CPU-reference rate.
+BASELINE_SEC_PER_SAMPLE = 1.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--batch", type=int, default=4)
+    args = p.parse_args()
+
+    if args.tiny:
+        res, cap, vch, uch, group = 32, 4096, (8, 16, 32, 32, 4), \
+            (4, 8, 16, 16), 4
+    else:
+        res, cap = 128, 65536
+        vch, uch, group = (32, 128, 512, 512, 4), (4, 320, 640, 960), 32
+
+    enc_caps = tuple(max(cap // (8 ** i), 64) for i in range(1, 4)) + \
+        (max(cap // 512, 64),) * 2
+    dec_caps = tuple(min(max(cap // (8 ** (3 - i)), 64), cap)
+                     for i in range(4))
+    latent_cap = enc_caps[2]
+    b = args.batch
+
+    vae = mm.VAE(channels=vch, encoder_capacities=enc_caps,
+                 decoder_capacities=dec_caps)
+    unet = mm.UNet(channels=uch, group=group,
+                   down_capacities=(max(latent_cap // 2, 16),
+                                    max(latent_cap // 4, 8),
+                                    max(latent_cap // 8, 8)))
+    sched = md.DDIMScheduler.create()
+
+    ds = SyntheticShapes(resolution=res, num_samples=b,
+                         points_per_shape=min(4096, res ** 2))
+    cpad, valid, _, _ = collate_pointclouds(
+        [ds[i]["coords"] for i in range(b)], cap)
+
+    def build(cpad, valid):
+        feats = jnp.ones((cap, 1)) * valid[:, None]
+        return mt.sparse_tensor(cpad, feats, capacity=cap, batch_size=b,
+                                valid=valid, extent=(res,) * 3)
+
+    st0 = build(jnp.asarray(cpad), jnp.asarray(valid))
+    rng = jax.random.PRNGKey(0)
+    vae_vars = jax.jit(vae.init)(rng, st0, st0.grid, rng)
+
+    def encode(st):
+        mean, _ = vae.apply(vae_vars, st, method=vae.encode)
+        return mean.with_features(mean.features * 0.1428)
+
+    latent = jax.jit(encode)(st0)
+    unet_vars = jax.jit(unet.init)(rng, latent, jnp.zeros((b,), jnp.int32))
+
+    def unet_apply(noised, timesteps, ehs):
+        return unet.apply(unet_vars, noised, timesteps, ehs, train=False)
+
+    @jax.jit
+    def sample(latent, key):
+        z = md.sample_latent(unet_apply, sched, latent, key,
+                             num_inference_steps=args.steps)
+        z = z.with_features(z.features / 0.1428)
+        _, _, sout = vae.apply(vae_vars, z, st0.grid, train=False,
+                               method=vae.decode)
+        return sout.features
+
+    out = sample(latent, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)  # compile
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = sample(latent, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    sec_per_sample = (time.perf_counter() - t0) / iters / b
+
+    print(json.dumps({
+        "metric": f"ddim{args.steps}_generation_sec_per_sample",
+        "value": round(sec_per_sample, 4),
+        "unit": "sec/sample",
+        "vs_baseline": round(BASELINE_SEC_PER_SAMPLE / sec_per_sample, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

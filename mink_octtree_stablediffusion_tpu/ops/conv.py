@@ -53,8 +53,11 @@ def sparse_conv_apply(
     kern = kernel.astype(cd)
 
     if k * n_out * cin <= fused_threshold:
-        g = jax.vmap(lambda ix: gather_rows(f, ix))(nbr_idx)  # [K, N_out, Cin]
-        g = jnp.transpose(g, (1, 0, 2)).reshape(n_out, k * cin)
+        # gather straight into [N_out, K, Cin] (no transpose relayout)
+        idx_t = nbr_idx.T  # [N_out, K]
+        m = (idx_t >= 0)
+        g = f[jnp.where(m, idx_t, 0)] * m[..., None].astype(cd)
+        g = g.reshape(n_out, k * cin)
         out = jnp.dot(g, kern.reshape(k * cin, cout),
                       preferred_element_type=jnp.float32)
     else:

@@ -40,6 +40,17 @@ def _tuplize(x, d: int) -> Tuple[int, ...]:
     return t
 
 
+def _morton_injective(extent, stride) -> bool:
+    """True when all stride-normalized coords fit the morton bit budget, so
+    the (batch, morton) key is injective and sort tie-breakers are redundant."""
+    if extent is None:
+        return False
+    d = len(stride)
+    bits = 30 // d
+    return all(int(np.ceil(e / s)) <= (1 << (bits - 1))
+               for e, s in zip(extent, stride))
+
+
 class SparseGrid(struct.PyTreeNode):
     """A deduplicated, Morton-canonically-ordered batched coordinate set.
 
@@ -78,21 +89,30 @@ class SparseGrid(struct.PyTreeNode):
         return hashtable.build_table(self.coords, self.valid)
 
 
-def canonical_sort_keys(coords: jnp.ndarray, valid: jnp.ndarray, stride) -> tuple:
-    """lexsort key tuple (least→most significant) for (batch, morton) order."""
+def canonical_sort_keys(coords: jnp.ndarray, valid: jnp.ndarray, stride,
+                        unique_morton: bool = False) -> tuple:
+    """lexsort key tuple (least→most significant) for (batch, morton) order.
+
+    ``unique_morton=True`` (extent-bounded grids: stride-normalized coords fit
+    the 10-bit/dim morton domain, so equal keys ⟺ equal coords) drops the
+    per-coordinate tie-breakers — a 2-key sort instead of d+2 keys."""
     d = coords.shape[1] - 1
     s = np.asarray(_tuplize(stride, d), dtype=np.int32)
     m = morton_encode(coords[:, 1:], jnp.asarray(s))
     big = np.iinfo(np.int32).max
     m = jnp.where(valid, m, big)
     b = jnp.where(valid, coords[:, 0], big)
+    if unique_morton:
+        return (m, b)
     minor = tuple(coords[:, i] for i in range(d, 0, -1))
     return minor + (m, b)
 
 
-def canonical_order(coords: jnp.ndarray, valid: jnp.ndarray, stride) -> jnp.ndarray:
+def canonical_order(coords: jnp.ndarray, valid: jnp.ndarray, stride,
+                    unique_morton: bool = False) -> jnp.ndarray:
     """Permutation sorting rows into (batch, morton, coord-lex) order, padding last."""
-    return jnp.lexsort(canonical_sort_keys(coords, valid, stride))
+    return jnp.lexsort(canonical_sort_keys(coords, valid, stride,
+                                           unique_morton))
 
 
 def unique_coords(
@@ -100,6 +120,7 @@ def unique_coords(
     valid: jnp.ndarray,
     capacity: int,
     stride=1,
+    unique_morton: bool = False,
 ):
     """Sort-based dedup into a fixed-capacity canonical buffer.
 
@@ -110,7 +131,7 @@ def unique_coords(
     (callers can detect capacity overflow: ``count > capacity``).
     """
     n, nf = coords.shape
-    order = canonical_order(coords, valid, stride)
+    order = canonical_order(coords, valid, stride, unique_morton)
     sc = coords[order]
     sv = valid[order]
     prev_eq = jnp.concatenate(
@@ -145,7 +166,9 @@ def make_grid(
     """
     d = coords.shape[1] - 1
     capacity = capacity or coords.shape[0]
-    uc, uv, inverse, count = unique_coords(coords, valid, capacity, stride)
+    uc, uv, inverse, count = unique_coords(
+        coords, valid, capacity, stride,
+        unique_morton=_morton_injective(extent, _tuplize(stride, d)))
     grid = SparseGrid(
         coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size,
         extent=None if extent is None else tuple(int(e) for e in extent),
@@ -173,7 +196,9 @@ def stride_grid(grid: SparseGrid, stride, capacity: int | None = None) -> Sparse
     )
     down = jnp.where(grid.valid[:, None], down, INVALID_COORD)
     cap = capacity or grid.capacity
-    uc, uv, _, _ = unique_coords(down, grid.valid, cap, new_stride)
+    uc, uv, _, _ = unique_coords(
+        down, grid.valid, cap, new_stride,
+        unique_morton=_morton_injective(grid.extent, new_stride))
     return SparseGrid(coords=uc, valid=uv, stride=new_stride,
                       batch_size=grid.batch_size, extent=grid.extent)
 
@@ -198,7 +223,13 @@ def expand_grid(
     cand = jnp.concatenate([batch, spatial], axis=-1).reshape(-1, 1 + d)
     cand_valid = jnp.repeat(grid.valid, k)
     cand = jnp.where(cand_valid[:, None], cand, INVALID_COORD)
-    uc, uv, _, _ = unique_coords(cand, cand_valid, capacity, tuple(out_stride))
+    keep_extent_early = grid.extent is not None and offsets.min() >= 0 and all(
+        offsets[:, i].max() <= gs - os
+        for i, (gs, os) in enumerate(zip(grid.stride, out_stride)))
+    uc, uv, _, _ = unique_coords(
+        cand, cand_valid, capacity, tuple(out_stride),
+        unique_morton=_morton_injective(
+            grid.extent if keep_extent_early else None, tuple(out_stride)))
     # children stay inside [0, extent) iff offsets are non-negative and do
     # not reach past the parent cell (true for the k2-s2 octree growth)
     keep_extent = grid.extent is not None and offsets.min() >= 0 and all(
