@@ -43,7 +43,11 @@ class _Norm(nn.Module):
 class BasicBlock(nn.Module):
     """Residual diffusion block (`diffusion_block.py:40-158`):
     conv3 → norm (+time-emb add or FiLM) → act → conv3 → norm → +residual
-    → optional self-attn → optional cross-attn → act."""
+    → optional self-attn → optional cross-attn → act.
+
+    ``prenorm=True`` switches to the pre-norm ordering of
+    `diffusion_block_prenorm.py:64-146` (norm(x) before conv1, norms sized to
+    the incoming width, SiLU default)."""
 
     channels: int
     use_time_emb: bool = False
@@ -54,20 +58,27 @@ class BasicBlock(nn.Module):
     with_cross_attn: bool = False
     cross_attention_dim: int = 768
     act_fn: str = "elu"
+    prenorm: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: SparseTensor, emb: Optional[jnp.ndarray] = None,
                  encoder_hidden_state: Optional[jnp.ndarray] = None,
                  train: bool = True) -> SparseTensor:
-        act = get_act(self.act_fn)
+        act = get_act("silu" if self.prenorm and self.act_fn == "elu"
+                      else self.act_fn)
         p = self.channels
         norm_kind = "instance" if self.use_time_emb else "batch"
         residual = x
 
-        out = SparseConv(p, kernel_size=3, name="conv1")(x)
-        out = _Norm(norm_kind, self.group, self.axis_name, name="norm1")(
-            out, train=train)
+        if self.prenorm:
+            out = _Norm(norm_kind, self.group, self.axis_name,
+                        name="norm1")(x, train=train)
+            out = SparseConv(p, kernel_size=3, name="conv1")(out)
+        else:
+            out = SparseConv(p, kernel_size=3, name="conv1")(x)
+            out = _Norm(norm_kind, self.group, self.axis_name, name="norm1")(
+                out, train=train)
         if self.use_time_emb:
             assert emb is not None
             e = jax.nn.elu(emb)  # reference applies F.elu before the proj
@@ -81,9 +92,14 @@ class BasicBlock(nn.Module):
                 out = broadcast_op(out, shift, "add")
         out = out.with_features(act(out.features))
 
-        out = SparseConv(p, kernel_size=3, name="conv2")(out)
-        out = _Norm(norm_kind, self.group, self.axis_name, name="norm2")(
-            out, train=train)
+        if self.prenorm:
+            out = _Norm(norm_kind, self.group, self.axis_name,
+                        name="norm2")(out, train=train)
+            out = SparseConv(p, kernel_size=3, name="conv2")(out)
+        else:
+            out = SparseConv(p, kernel_size=3, name="conv2")(out)
+            out = _Norm(norm_kind, self.group, self.axis_name, name="norm2")(
+                out, train=train)
         out = out + residual
 
         if self.with_attn:

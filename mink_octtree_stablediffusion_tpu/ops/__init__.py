@@ -27,7 +27,7 @@ from .neighbors import get_coords_map, grid_lookup, identity_map, kernel_map, me
 from .search import lookup_sorted
 from .pool import broadcast_batch, global_pool, local_pool_apply
 from .pruning import prune, top_k_mask
-from .reduce import reduce_by_inverse, slice_by_inverse
+from .reduce import coo_spmm, reduce_by_inverse, slice_by_inverse
 from .union import union
 
 __all__ = [
@@ -40,6 +40,6 @@ __all__ = [
     "morton_decode", "morton_encode", "morton_encode_np", "identity_map",
     "get_coords_map", "grid_lookup", "kernel_map", "membership",
     "LUT_MAX_ENTRIES", "build_lut", "lut_lookup", "lookup_sorted", "broadcast_batch", "global_pool",
-    "local_pool_apply", "prune", "top_k_mask", "reduce_by_inverse",
+    "local_pool_apply", "prune", "top_k_mask", "coo_spmm", "reduce_by_inverse",
     "slice_by_inverse", "union",
 ]

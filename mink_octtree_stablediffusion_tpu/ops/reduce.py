@@ -60,3 +60,24 @@ def slice_by_inverse(
     safe = jnp.clip(inverse, 0, cap - 1)
     ok = valid & (inverse < cap)
     return unique_features[safe] * ok[:, None].astype(unique_features.dtype)
+
+
+def coo_spmm(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
+             num_rows: int, dense: jnp.ndarray,
+             average: bool = False) -> jnp.ndarray:
+    """COO sparse @ dense (reference `coo_spmm` / `coo_spmm_average`,
+    `pybind/extern.hpp:495-506`, `sparse_matrix_functions.py:32-121`):
+    out[r] += vals * dense[c]; negative row indices are dropped.  With
+    ``average`` the rows are normalized by their nonzero count — the
+    UNWEIGHTED_AVERAGE quantization path."""
+    ok = rows >= 0
+    dest = jnp.where(ok, rows, num_rows)
+    contrib = dense[jnp.where(ok, cols, 0)] * \
+        (vals * ok.astype(vals.dtype))[:, None]
+    out = jnp.zeros((num_rows + 1, dense.shape[1]), dense.dtype)
+    out = out.at[dest].add(contrib)
+    if average:
+        cnt = jnp.zeros((num_rows + 1,), vals.dtype).at[dest].add(
+            ok.astype(vals.dtype))
+        out = out / jnp.maximum(cnt, 1.0)[:, None]
+    return out[:num_rows]

@@ -3,9 +3,9 @@
 from .diagnostics import get_device_memory_info, print_diagnostics
 from .gradcheck import gradcheck
 from .profiling import Timer, synced_time, trace
-from .summary import count_params, summary
+from .summary import capacity_report, count_params, summary
 from .viz import render_pointclouds, sparse_tensor_clouds
 
-__all__ = ["get_device_memory_info", "print_diagnostics", "gradcheck", "count_params", "summary",
+__all__ = ["get_device_memory_info", "print_diagnostics", "gradcheck", "capacity_report", "count_params", "summary",
            "render_pointclouds", "sparse_tensor_clouds", "Timer",
            "synced_time", "trace"]

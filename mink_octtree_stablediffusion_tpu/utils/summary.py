@@ -33,3 +33,16 @@ def summary(params: Any, depth: int = 2, file=None) -> str:
     if file is not None:
         print(out, file=file)
     return out
+
+
+def capacity_report(*tensors, names=None) -> str:
+    """Occupancy of each SparseTensor's fixed-capacity buffer — the TPU
+    analogue of the reference's hash-occupancy reporting
+    (`utils/summary.py:32-37`)."""
+    lines = ["tensor      occupied / capacity   util"]
+    for i, t in enumerate(tensors):
+        n = int(t.count())
+        name = names[i] if names else f"tensor{i}"
+        lines.append(f"{name:<10}  {n:>8} / {t.capacity:<8}  "
+                     f"{n / max(t.capacity, 1):.1%}")
+    return "\n".join(lines)
