@@ -69,6 +69,9 @@ def parse_args():
     p.add_argument("--noise_point_max", type=int, default=64)
     p.add_argument("--noise_near", action="store_true")
     p.add_argument("--no_vae", action="store_true")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="run 50-step sampling validation + PNG every N steps")
+    p.add_argument("--viz_dir", type=str, default="viz_diffusion")
     return p.parse_args()
 
 
@@ -167,6 +170,27 @@ def main():
 
     step_fn = mtrain.make_train_step(loss_fn)
 
+    @jax.jit
+    def validate(params, batch, rng):
+        """50-step denoise on a real latent coordinate set + frozen decode
+        (`diffusion.py:520-658`)."""
+        cpad, valid = batch
+        st = build(cpad, valid)
+        latent = encode(st)
+
+        def unet_apply(noised, timesteps, ehs):
+            return unet.apply({"params": params["unet"]}, noised, timesteps,
+                              ehs, train=False)
+
+        z = md.sample_latent(unet_apply, sched, latent, rng,
+                             num_inference_steps=cfg.sample_steps)
+        z = z.with_features(z.features / cfg.vae_scale)
+        _, _, sout = vae.apply(
+            {"params": vae_vars["params"],
+             "batch_stats": vae_vars.get("batch_stats", {})},
+            z, st.grid, train=False, method=vae.decode)
+        return st, sout
+
     step = int(state.step)
     t0 = time.time()
     while True:
@@ -184,6 +208,17 @@ def main():
                 t0 = time.time()
             if step % cfg.save_every == 0:
                 ckpt.save(step, state)
+            if cfg.val_every and step % cfg.val_every == 0:
+                sin_v, sout_v = validate(
+                    state.params,
+                    (jnp.asarray(cpad), jnp.asarray(valid)), rng)
+                path = mt.utils.render_pointclouds(
+                    [mt.utils.sparse_tensor_clouds(sin_v, 1)[0],
+                     mt.utils.sparse_tensor_clouds(sout_v, 1)[0]],
+                    os.path.join(cfg.viz_dir, f"step_{step:06d}.png"),
+                    titles=["data", "generated"],
+                    resolution=cfg.resolution)
+                log.info("validation sample written to %s", path)
             if cfg.steps and step >= cfg.steps:
                 ckpt.save(step, state, force=True)
                 log.info("done (step cap)")

@@ -54,6 +54,8 @@ def parse_args():
     p.add_argument("--small_dataset", action="store_true")
     p.add_argument("--input_capacity", type=int, default=65536)
     p.add_argument("--viz_dir", type=str, default=None)
+    p.add_argument("--viz_every", type=int, default=0,
+                   help="render reconstruction vs input PNG every N steps")
     return p.parse_args()
 
 
@@ -117,6 +119,16 @@ def main():
 
     step_fn = mtrain.make_train_step(loss_fn)
 
+    @jax.jit
+    def reconstruct(params, batch_stats, batch, rng):
+        """eval-mode decode for visualization (`ae_res.py:865-886`)."""
+        cpad, valid, feats = batch
+        st = build(cpad, valid, feats)
+        (out_clss, targets, sout, *_), _ = vae.apply(
+            {"params": params, "batch_stats": batch_stats}, st, st.grid, rng,
+            train=False, mutable=["batch_stats"])
+        return st, sout
+
     step = int(state.step)
     t0 = time.time()
     for epoch in range(cfg.max_epochs):
@@ -137,6 +149,19 @@ def main():
             if step % cfg.save_every == 0:
                 ckpt.save(step, state)
                 log.info("checkpointed step %d", step)
+            if cfg.viz_every and step % cfg.viz_every == 0:
+                sin_v, sout_v = reconstruct(
+                    state.params, state.batch_stats,
+                    (jnp.asarray(cpad), jnp.asarray(valid),
+                     jnp.asarray(feats)), rng)
+                path = mt.utils.render_pointclouds(
+                    [mt.utils.sparse_tensor_clouds(sin_v, 1)[0],
+                     mt.utils.sparse_tensor_clouds(sout_v, 1)[0]],
+                    os.path.join(cfg.viz_dir or "viz_vae",
+                                 f"step_{step:06d}.png"),
+                    titles=["input", "reconstruction"],
+                    resolution=cfg.resolution)
+                log.info("wrote %s", path)
             if cfg.steps and step >= cfg.steps:
                 ckpt.save(step, state, force=True)
                 log.info("done (step cap)")
