@@ -20,7 +20,7 @@ from .coords import (
 from .conv import gather_rows, linear_apply, sparse_conv_apply
 from .hashtable import HashTable, build_table, lookup, pack_keys
 from .interp import interpolate, interpolation_weights, splat, splat_coordinates
-from .kernels import KernelSpec, RegionType, region_offsets
+from .kernels import KernelSpec, RegionType, hybrid_region_offsets, region_offsets
 from .morton import morton_decode, morton_encode, morton_encode_np
 from .lut import LUT_MAX_ENTRIES, build_lut, lut_lookup
 from .neighbors import get_coords_map, grid_lookup, identity_map, kernel_map, membership
@@ -36,7 +36,7 @@ __all__ = [
     "sparse_quantize_np", "stride_grid", "unique_coords", "gather_rows",
     "linear_apply", "sparse_conv_apply", "HashTable", "build_table", "lookup",
     "pack_keys", "interpolate", "interpolation_weights", "splat",
-    "splat_coordinates", "KernelSpec", "RegionType", "region_offsets",
+    "splat_coordinates", "KernelSpec", "RegionType", "hybrid_region_offsets", "region_offsets",
     "morton_decode", "morton_encode", "morton_encode_np", "identity_map",
     "get_coords_map", "grid_lookup", "kernel_map", "membership",
     "LUT_MAX_ENTRIES", "build_lut", "lut_lookup", "lookup_sorted", "broadcast_batch", "global_pool",

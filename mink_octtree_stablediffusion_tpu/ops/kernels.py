@@ -122,3 +122,38 @@ class KernelSpec:
         """kernel volume 1 and stride 1 → pure feature matmul (the reference's
         use_mm fast path, `MinkowskiConvolution.py:263-271`)."""
         return self.volume == 1 and all(s == 1 for s in self.stride)
+
+
+def hybrid_region_offsets(kernel_size, axis_types, dilation=1) -> np.ndarray:
+    """HYBRID region (reference `convert_region_type`,
+    `MinkowskiKernelGenerator.py:105-242`): per-dimension choice of
+    HYPER_CUBE or HYPER_CROSS axes, expanded to explicit CUSTOM offsets.
+    ``axis_types`` is a sequence of RegionType per dimension; cube axes form
+    the cartesian product, cross axes add ±axis spokes off that block."""
+    d = len(axis_types)
+    ks = _tuplize(kernel_size, d)
+    dil = _tuplize(dilation, d)
+    lows = [int(np.floor((k - 1) / 2)) for k in ks]
+    cube_axes = []
+    for i, (k, lo, t) in enumerate(zip(ks, lows, axis_types)):
+        if t == RegionType.HYPER_CUBE:
+            cube_axes.append((np.arange(k) - lo) * dil[i])
+        else:
+            cube_axes.append(np.zeros(1, dtype=np.int64))
+    offs = [np.array(o, dtype=np.int32)
+            for o in itertools.product(*cube_axes)]
+    base = np.stack(offs)
+    # cross axes contribute pure axis spokes off the ORIGIN only
+    # (`MinkowskiKernelGenerator.py:195-217`)
+    extra = []
+    for i, (k, lo, t) in enumerate(zip(ks, lows, axis_types)):
+        if t != RegionType.HYPER_CROSS:
+            continue
+        for v in (np.arange(k) - lo) * dil[i]:
+            if v == 0:
+                continue
+            o = np.zeros(d, dtype=np.int32)
+            o[i] = v
+            extra.append(o)
+    out = base if not extra else np.concatenate([base, np.stack(extra)])
+    return np.unique(out, axis=0).astype(np.int32)

@@ -217,3 +217,42 @@ def test_basic_block_time_emb(rng):
     out = jax.jit(lambda v, s, e: blk.apply(v, s, e))(variables, st, emb)
     assert np.all(np.isfinite(np.asarray(out.F)))
     assert out.F.shape == (st.capacity, 8)
+
+
+def test_conv_numeric_gradcheck(rng):
+    """Numeric gradient verification of the sparse conv (the reference ships
+    a gradcheck wrapper for exactly this, `utils/gradcheck.py:34-60`)."""
+    import mink_octtree_stablediffusion_tpu as mt2
+    from mink_octtree_stablediffusion_tpu.utils import gradcheck
+
+    coords = np.concatenate(
+        [np.zeros((12, 1), np.int32), rng.randint(0, 3, (12, 3))],
+        axis=1).astype(np.int32)
+    cpad, valid = mt2.ops.pad_to_capacity(coords, 16)
+    st = jax.jit(lambda c, f, v: mt2.sparse_tensor(
+        c, f, capacity=16, valid=v))(
+        jnp.asarray(cpad),
+        jnp.asarray((rng.randn(16, 2) * valid[:, None]).astype(np.float32)),
+        jnp.asarray(valid))
+    spec = mt2.ops.KernelSpec(3, 1, ndim=3)
+    nbr = mt2.ops.kernel_map(st.grid, st.grid, spec)
+    kernel = jnp.asarray(rng.randn(27, 2, 3).astype(np.float32) * 0.2)
+
+    def f(feats, kern):
+        return mt2.ops.sparse_conv_apply(feats, kern, nbr)
+
+    assert gradcheck(f, (st.features, kernel))
+
+
+def test_hybrid_region_offsets():
+    from mink_octtree_stablediffusion_tpu.ops import (RegionType,
+                                                      hybrid_region_offsets)
+
+    offs = hybrid_region_offsets(
+        3, (RegionType.HYPER_CUBE, RegionType.HYPER_CUBE,
+            RegionType.HYPER_CROSS))
+    s = set(map(tuple, offs.tolist()))
+    # cube over (x, y) at z=0, plus pure z = ±1 spokes off the origin
+    assert (1, -1, 0) in s and (0, 0, 1) in s and (0, 0, -1) in s
+    assert (1, 1, 1) not in s and (1, 0, 1) not in s
+    assert len(s) == 9 + 2
