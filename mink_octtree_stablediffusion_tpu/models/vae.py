@@ -31,10 +31,14 @@ from ..ops.coords import SparseGrid, stride_grid
 
 class Encoder(nn.Module):
     """`ae_res.py:418-481`.  channels = config.vae_channel, e.g.
-    (32, 128, 512, 512, 4); three downsamples → latent tensor stride 8."""
+    (32, 128, 512, 512, 4); three downsamples → latent tensor stride 8.
+    ``with_window_attn`` enables the Morton-window transformer after block3
+    (the reference builds it at `ae_res.py:453` with config.window_size)."""
 
     channels: Sequence[int] = (32, 128, 512, 512, 4)
     level_capacities: Sequence[int] = (4096, 1024, 512, 512, 512)
+    with_window_attn: bool = False
+    window_size: int = 50
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -50,6 +54,11 @@ class Encoder(nn.Module):
         x = ResNetStack(ch[2], layers=2, after="downsample",
                         out_capacity=caps[2], axis_name=self.axis_name,
                         name="block3")(x, train=train)
+        if self.with_window_attn:
+            from ..nn.attention import MortonWindowTransformer
+
+            x = MortonWindowTransformer(window_size=self.window_size,
+                                        name="window_attn")(x)
         x = ResNetStack(ch[3], layers=2, after=None, axis_name=self.axis_name,
                         name="block4")(x, train=train)
         x = ResNetStack(ch[4], layers=2, after=None, axis_name=self.axis_name,
@@ -120,11 +129,15 @@ class VAE(nn.Module):
     encoder_capacities: Sequence[int] = (4096, 1024, 512, 512, 512)
     decoder_capacities: Sequence[int] = (512, 2048, 8192, 32768)
     max_keep: Optional[int] = None
+    with_window_attn: bool = False
+    window_size: int = 50
     axis_name: Optional[str] = None
 
     def setup(self):
-        self.encoder = Encoder(self.channels, self.encoder_capacities,
-                               self.axis_name)
+        self.encoder = Encoder(
+            self.channels, self.encoder_capacities,
+            with_window_attn=self.with_window_attn,
+            window_size=self.window_size, axis_name=self.axis_name)
         self.decoder = Decoder(
             tuple(reversed(self.channels)), self.decoder_capacities,
             self.max_keep, self.axis_name)
