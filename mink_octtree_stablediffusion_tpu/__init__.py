@@ -12,7 +12,8 @@ jax.sharding meshes.
 
 __version__ = "0.1.0"
 
-from . import data, diffusion, models, nn, ops, parallel, tensor, train, utils
+from . import config, data, diffusion, models, nn, ops, parallel, tensor, train, utils
+from .config import Algorithm, get_algorithm, set_algorithm
 from .ops import SparseGrid
 from .tensor import (
     SparseTensor,
@@ -29,6 +30,7 @@ from .tensor import (
 )
 
 __all__ = [
+    "Algorithm", "config", "get_algorithm", "set_algorithm",
     "data", "diffusion", "models", "nn", "ops", "parallel", "tensor",
     "train", "SparseGrid",
     "SparseTensor", "TensorField",

@@ -18,6 +18,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# default fused gather-GEMM size cutoff; see `config.set_algorithm`
+DEFAULT_FUSED_THRESHOLD = 1 << 21
+
 
 def gather_rows(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """features[idx] with -1 → zero row.  idx [M], features [N, C] → [M, C]."""
@@ -31,7 +34,7 @@ def sparse_conv_apply(
     kernel: jnp.ndarray,  # [K, Cin, Cout]
     nbr_idx: jnp.ndarray,  # int32[K, N_out]
     bias: jnp.ndarray | None = None,
-    fused_threshold: int = 1 << 21,
+    fused_threshold: int | None = None,
     compute_dtype=None,
 ) -> jnp.ndarray:
     """Apply a sparse convolution given a precomputed kernel map.
@@ -43,6 +46,8 @@ def sparse_conv_apply(
       * looped — K sequential (N_out, Cin)x(Cin, Cout) matmuls (bounded peak
         memory for large point counts).
     """
+    if fused_threshold is None:
+        fused_threshold = DEFAULT_FUSED_THRESHOLD
     k, n_out = nbr_idx.shape
     cin = features.shape[1]
     cout = kernel.shape[2]

@@ -22,7 +22,8 @@ import numpy as np
 
 from .coords import SparseGrid
 from .kernels import KernelSpec
-from .lut import LUT_MAX_ENTRIES, build_lut, lut_entries, lut_lookup
+from . import lut as _lut
+from .lut import build_lut, lut_entries, lut_lookup
 from .search import lookup_sorted
 
 
@@ -35,7 +36,7 @@ def grid_lookup(grid: SparseGrid, queries: jnp.ndarray,
     LUT build via XLA CSE (the reference memoizes kernel maps the same way,
     `docs/benchmark.md:3`)."""
     if grid.extent is not None and lut_entries(
-            grid.extent, grid.stride, grid.batch_size) <= LUT_MAX_ENTRIES:
+            grid.extent, grid.stride, grid.batch_size) <= _lut.LUT_MAX_ENTRIES:
         table = build_lut(grid.coords, grid.valid, grid.stride, grid.extent,
                           grid.batch_size)
         return lut_lookup(table, grid.stride, grid.extent, grid.batch_size,
