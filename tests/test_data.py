@@ -1,0 +1,82 @@
+"""Data-pipeline tests: max_batch_len collation (largest-sample dropping,
+`ae_res.py:125-141`), mesh resampling, synthetic datasets, native C++ host
+kernels vs numpy (built on demand; skipped if no toolchain)."""
+
+import numpy as np
+import pytest
+
+import mink_octtree_stablediffusion_tpu as mt
+from mink_octtree_stablediffusion_tpu import data as mdata
+from mink_octtree_stablediffusion_tpu import native
+
+
+def test_collate_drops_largest_first(rng):
+    clouds = [rng.randint(0, 100, (n, 3)) for n in (10, 50, 200)]
+    cpad, valid, feats, kept = mdata.collate_pointclouds(
+        clouds, capacity=512, max_batch_len=100)
+    # the 200-point sample must be dropped, 10+50 kept
+    assert kept == [0, 1]
+    assert int(valid.sum()) <= 60  # dedup may shrink
+    # batch ids re-assigned contiguously
+    bids = set(cpad[valid][:, 0].tolist())
+    assert bids == {0, 1}
+
+
+def test_collate_never_empty(rng):
+    clouds = [rng.randint(0, 100, (500, 3))]
+    cpad, valid, _, kept = mdata.collate_pointclouds(
+        clouds, capacity=64, max_batch_len=10)
+    assert kept == [0]
+    assert 0 < int(valid.sum()) <= 64
+
+
+def test_resample_mesh_on_surface(rng):
+    # unit right triangle in the z=0 plane
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+    faces = np.array([[0, 1, 2]])
+    pts = mdata.resample_mesh_count(verts, faces, 500, rng)
+    assert len(pts) == 500
+    assert np.allclose(pts[:, 2], 0)
+    assert np.all(pts[:, 0] >= -1e-9) and np.all(pts[:, 1] >= -1e-9)
+    assert np.all(pts[:, 0] + pts[:, 1] <= 1 + 1e-9)
+
+
+def test_synthetic_shapes_deterministic():
+    ds = mdata.SyntheticShapes(resolution=16, num_samples=8, with_class=True)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["coords"], b["coords"])
+    assert a["caption"].startswith("a picture of a ")
+    assert all(ds[i]["coords"].max() < 16 for i in range(8))
+
+
+def test_native_matches_numpy(rng):
+    if not native.available():
+        try:
+            from mink_octtree_stablediffusion_tpu.native.build import build
+
+            build(verbose=False)
+        except Exception:
+            pytest.skip("no native toolchain")
+    assert native.available()
+    pts = (rng.rand(3000, 3) * 64 - 8).astype(np.float32)
+    c_n, inv_n = native.sparse_quantize(pts, 1.0, return_inverse=True)
+    c_p, inv_p = mt.ops.sparse_quantize_np(pts, 1.0, return_inverse=True)
+    np.testing.assert_array_equal(c_n, c_p)
+    np.testing.assert_array_equal(inv_n, inv_p)
+    xyz = rng.randint(-100, 100, (500, 3)).astype(np.int32)
+    np.testing.assert_array_equal(
+        native.morton_codes(xyz, 2),
+        mt.ops.morton_encode_np(xyz, 2))
+
+
+def test_native_label_consensus(rng):
+    if not native.available():
+        pytest.skip("native lib not built")
+    coords = np.array([[0, 0, 0], [0, 0, 0], [1, 1, 1], [2, 2, 2],
+                       [2, 2, 2]], np.int32)
+    labels = np.array([5, 5, 7, 1, 2], np.int32)
+    uc, ul, inv = native.quantize_label(coords, labels, invalid_label=-100)
+    got = {tuple(c): l for c, l in zip(uc.tolist(), ul.tolist())}
+    assert got[(0, 0, 0)] == 5       # agreeing labels kept
+    assert got[(1, 1, 1)] == 7
+    assert got[(2, 2, 2)] == -100    # conflict → invalid
