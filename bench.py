@@ -4,8 +4,15 @@ Reproduces the reference's benchmark workload (`docs/benchmark.md:14-37`):
 `MinkowskiConvolution(in=3, out=32, kernel_size=3, stride=1)` over an
 average ScanNet-room-sized cloud (26,098 points, 5 cm voxels).  The upstream
 baseline is 0.093 s forward on a Titan X → 280,619 points/sec; the timed
-region includes coordinate hashing + kernel-map build + conv, like the
-reference's (which builds its kernel map inside the first forward).
+region includes coordinate hashing + kernel-map build + conv per iteration,
+like the reference's (which builds its kernel map inside the forward).
+
+Timing protocol: the conv pipeline is chained inside `lax.scan` with
+*distinct* per-step features and a loop-carried coordinate dependence, and
+per-step time is the slope between a short and a long chain — this cancels
+dispatch/transport latency and defeats any execution memoization, giving
+honest on-chip time (remote-TPU tunnels otherwise make async timing
+meaningless).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -34,11 +41,11 @@ N_POINTS = 26098  # docs/benchmark.md:28 (MinkowskiEngine avg ScanNet points)
 CAPACITY = 32768
 BASELINE_PPS = N_POINTS / 0.093  # Titan X fwd k=3 (docs/benchmark.md:35)
 CIN, COUT, K = 3, 32, 3
+EXTENT = (160, 160, 60)  # ~8m x 8m x 3m room at 5 cm voxels
 
 
 def scannet_like_cloud(rng: np.random.RandomState, n: int) -> np.ndarray:
-    """Room-like cloud: mostly 2D surfaces (floor/walls) + clutter, ~5 cm
-    voxels over a ~8m x 8m x 3m room → coords in [0,160)x[0,160)x[0,60)."""
+    """Room-like cloud: mostly 2D surfaces (floor/walls) + clutter."""
     n_floor, n_wall, n_clutter = n // 3, n // 3, n - 2 * (n // 3)
     floor = np.stack([rng.randint(0, 160, n_floor),
                       rng.randint(0, 160, n_floor),
@@ -56,34 +63,47 @@ def main():
     cloud = scannet_like_cloud(rng, N_POINTS)
     coords = np.concatenate([np.zeros((N_POINTS, 1), np.int32), cloud], 1)
     cpad, valid = mt.ops.pad_to_capacity(coords, CAPACITY)
-    feats = np.zeros((CAPACITY, CIN), np.float32)
-    feats[valid] = rng.randn(int(valid.sum()), CIN)
     kernel = (rng.randn(K ** 3, CIN, COUT) * 0.1).astype(np.float32)
-
     spec = mt.ops.KernelSpec(K, 1, 1, ndim=3)
+    cpj, vj, kj = map(jnp.asarray, (cpad, valid, kernel))
 
-    @jax.jit
-    def conv_fwd(cpad, valid, feats, kernel):
-        grid, inverse, _ = mt.ops.make_grid(cpad, valid, CAPACITY,
-                                            batch_size=1,
-                                            extent=(160, 160, 60))
-        f = mt.ops.reduce_by_inverse(feats, inverse, valid, CAPACITY, "sum")
-        nbr = mt.ops.kernel_map(grid, grid, spec)
-        return mt.ops.sparse_conv_apply(f, kernel, nbr)
+    def chain(steps):
+        @jax.jit
+        def run(cpad, valid, feats, kernel):
+            def body(carry, f_i):
+                grid, inverse, _ = mt.ops.make_grid(
+                    carry, valid, CAPACITY, batch_size=1, extent=EXTENT)
+                f = mt.ops.reduce_by_inverse(f_i, inverse, valid, CAPACITY,
+                                             "sum")
+                nbr = mt.ops.kernel_map(grid, grid, spec)
+                out = mt.ops.sparse_conv_apply(f, kernel, nbr)
+                s = jnp.sum(out)
+                # loop-carried dependence; numerically zero at runtime
+                return carry + (s * 1e-30).astype(jnp.int32), s
+            _, sums = jax.lax.scan(body, cpad, feats)
+            return jnp.sum(sums)
+        return run
 
-    args = (jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats),
-            jnp.asarray(kernel))
-    out = conv_fwd(*args)
-    out.block_until_ready()  # compile + warm up
+    def timed(steps, trials=3):
+        run = chain(steps)
+        fs = jnp.asarray((rng.randn(steps, CAPACITY, CIN) *
+                          valid[None, :, None]).astype(np.float32))
+        float(jnp.sum(fs))
+        float(run(cpj, vj, fs, kj))  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            fs2 = jnp.asarray((rng.randn(steps, CAPACITY, CIN) *
+                               valid[None, :, None]).astype(np.float32))
+            float(jnp.sum(fs2))  # stage
+            t0 = time.perf_counter()
+            float(run(cpj, vj, fs2, kj))  # value fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = conv_fwd(*args)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-
-    pps = N_POINTS / dt
+    s0, s1 = 4, 24
+    t0, t1 = timed(s0), timed(s1)
+    per_iter = max((t1 - t0) / (s1 - s0), 1e-9)
+    pps = N_POINTS / per_iter
     print(json.dumps({
         "metric": "sparse_conv_fwd_k3_points_per_sec",
         "value": round(pps, 1),

@@ -97,10 +97,12 @@ class SparseTransformer(nn.Module):
 
 class MortonWindowTransformer(nn.Module):
     """Windowed attention over the Morton order with interval dilation —
-    `MortonWindowTransformer` (`examples/ae_res.py:344-416`).  SparseGrid rows
-    are (batch, morton)-sorted by construction, so windowing is a static
-    reshape: rows [N] → windows [N/W, W].  ``interval`` > 1 strides rows into
-    dilated windows first (the reference's interval transpose trick)."""
+    `MortonWindowTransformer` (`examples/ae_res.py:344-416`).  Rows are
+    explicitly (batch, morton)-argsorted inside the module (the canonical
+    grid order is row-major for bounded grids), attention runs in fixed
+    windows over that order, and outputs scatter back to the original rows.
+    ``interval`` > 1 strides rows into dilated windows first (the
+    reference's interval transpose trick)."""
 
     window_size: int = 64
     interval: int = 1
@@ -108,13 +110,25 @@ class MortonWindowTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: SparseTensor) -> SparseTensor:
+        from ..ops.morton import morton_encode
+
         n, c = x.features.shape
         w, iv = self.window_size, self.interval
+        # impose (batch, morton) order locally
+        mcode = morton_encode(x.C[:, 1:],
+                              jnp.asarray(np.asarray(x.tensor_stride,
+                                                     np.int32)))
+        big = np.iinfo(np.int32).max
+        morder = jnp.lexsort((jnp.where(x.valid, mcode, big),
+                              jnp.where(x.valid, x.C[:, 0], big)))
+        x_sorted_feats = x.features[morder]
+        x_sorted_valid = x.valid[morder]
+        x_sorted_bid = jnp.where(x_sorted_valid, x.C[morder, 0], -1)
+
         pad = (-n) % (w * iv)
-        f = jnp.pad(x.features, ((0, pad), (0, 0)))
-        m = jnp.pad(x.valid, (0, pad))
-        bid = jnp.pad(jnp.where(x.valid, x.C[:, 0], -1), (0, pad),
-                      constant_values=-1)
+        f = jnp.pad(x_sorted_feats, ((0, pad), (0, 0)))
+        m = jnp.pad(x_sorted_valid, (0, pad))
+        bid = jnp.pad(x_sorted_bid, (0, pad), constant_values=-1)
         if iv > 1:
             f = f.reshape(-1, iv, c).swapaxes(0, 1).reshape(-1, c)
             m = m.reshape(-1, iv).swapaxes(0, 1).reshape(-1)
@@ -142,4 +156,6 @@ class MortonWindowTransformer(nn.Module):
         if iv > 1:
             out = out.reshape(iv, -1, c).swapaxes(0, 1).reshape(-1, c)
         out = out[:n]
-        return x.with_features(x.features + out)
+        # scatter residual back to original row order
+        residual = jnp.zeros_like(x.features).at[morder].set(out)
+        return x.with_features(x.features + residual)

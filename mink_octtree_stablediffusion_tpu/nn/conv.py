@@ -35,6 +35,7 @@ from ..ops import (
     sparse_conv_apply,
     stride_grid,
 )
+from ..ops.dense_conv import dense_conv_applicable, dense_conv_apply
 from ..tensor import SparseTensor
 
 Size = Union[int, Tuple[int, ...]]
@@ -89,6 +90,13 @@ class SparseConv(nn.Module):
             else:
                 out_grid = stride_grid(x.grid, spec.stride,
                                        self.out_capacity or x.capacity)
+        # bounded stride-1 odd-kernel convs take the densify->MXU-conv path
+        # (ops.dense_conv) — ~10x the gather-GEMM throughput on TPU
+        if out_grid is x.grid and dense_conv_applicable(
+                spec, x.grid, cin, self.out_channels):
+            out = dense_conv_apply(x.features, kernel, x.grid, spec, bias,
+                                   compute_dtype=self.dtype)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
                                 compute_dtype=self.dtype)

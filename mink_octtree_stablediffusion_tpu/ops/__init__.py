@@ -18,6 +18,7 @@ from .coords import (
     unique_coords,
 )
 from .conv import gather_rows, linear_apply, sparse_conv_apply
+from .dense_conv import dense_conv_applicable, dense_conv_apply, enable_dense_conv
 from .hashtable import HashTable, build_table, lookup, pack_keys
 from .interp import interpolate, interpolation_weights, splat, splat_coordinates
 from .kernels import KernelSpec, RegionType, hybrid_region_offsets, region_offsets
@@ -34,7 +35,8 @@ __all__ = [
     "INVALID_COORD", "SparseGrid", "batched_coordinates_np", "canonical_order",
     "expand_grid", "make_grid", "origin_grid", "pad_to_capacity",
     "sparse_quantize_np", "stride_grid", "unique_coords", "gather_rows",
-    "linear_apply", "sparse_conv_apply", "HashTable", "build_table", "lookup",
+    "linear_apply", "sparse_conv_apply",
+    "dense_conv_applicable", "dense_conv_apply", "enable_dense_conv", "HashTable", "build_table", "lookup",
     "pack_keys", "interpolate", "interpolation_weights", "splat",
     "splat_coordinates", "KernelSpec", "RegionType", "hybrid_region_offsets", "region_offsets",
     "morton_decode", "morton_encode", "morton_encode_np", "identity_map",

@@ -8,9 +8,12 @@ so every operation (dedup, stride map, generative expansion, membership query)
 is a shape-static XLA computation: whole training steps jit with zero host
 round-trips.
 
-Canonical row order is (batch, morton): the reference sorts tensors by Morton
-code before attention (`examples/ae_res.py:92-123`); here the order falls out
-of the dedup sort for free and is an invariant of every SparseGrid.
+Canonical row order is batch-major and spatially sorted: bounded-extent grids
+sort by the flat row-major cell index (single int32 key — fastest sort and
+search, robust on every backend), unbounded grids by (batch, Morton) with
+coordinate tie-breakers (the reference sorts tensors by Morton code before
+attention, `examples/ae_res.py:92-123`; `nn.MortonWindowTransformer` imposes
+morton order itself, so attention locality is independent of this choice).
 """
 
 from __future__ import annotations
@@ -38,17 +41,6 @@ def _tuplize(x, d: int) -> Tuple[int, ...]:
     t = tuple(int(v) for v in x)
     assert len(t) == d
     return t
-
-
-def _morton_injective(extent, stride) -> bool:
-    """True when all stride-normalized coords fit the morton bit budget, so
-    the (batch, morton) key is injective and sort tie-breakers are redundant."""
-    if extent is None:
-        return False
-    d = len(stride)
-    bits = 30 // d
-    return all(int(np.ceil(e / s)) <= (1 << (bits - 1))
-               for e, s in zip(extent, stride))
 
 
 class SparseGrid(struct.PyTreeNode):
@@ -89,30 +81,65 @@ class SparseGrid(struct.PyTreeNode):
         return hashtable.build_table(self.coords, self.valid)
 
 
-def canonical_sort_keys(coords: jnp.ndarray, valid: jnp.ndarray, stride,
-                        unique_morton: bool = False) -> tuple:
-    """lexsort key tuple (least→most significant) for (batch, morton) order.
+def _flat_bound(extent, stride, d) -> int | None:
+    """Total flat cells per batch instance if extent is usable, else None.
 
-    ``unique_morton=True`` (extent-bounded grids: stride-normalized coords fit
-    the 10-bit/dim morton domain, so equal keys ⟺ equal coords) drops the
-    per-coordinate tie-breakers — a 2-key sort instead of d+2 keys."""
+    Usable ⟺ the flat key b·prod(cells)+linear stays below int32 for any
+    batch index the pipelines use (we reserve 20 bits of batch headroom)."""
+    if extent is None:
+        return None
+    cells = [int(np.ceil(e / s)) for e, s in zip(extent, stride)]
+    total = int(np.prod(cells))
+    if total <= 0 or total >= (1 << 30):
+        return None
+    return total
+
+
+def flat_cell_key(coords: jnp.ndarray, valid: jnp.ndarray, stride,
+                  extent) -> jnp.ndarray:
+    """Injective int32 sort/search key for bounded grids: the row-major
+    linearization ``b·prod(cells) + x·(...)+…`` of the stride-normalized
+    cell — no bit interleave (the morton path miscompiles on some TPU
+    backends, see ops.neighbors.grid_lookup), one key instead of d+2.
+    Padding/invalid rows map to INT32_MAX.  Canonical row order for bounded
+    grids is therefore (batch, x, y, z) row-major."""
     d = coords.shape[1] - 1
+    sa = np.asarray(_tuplize(stride, d), dtype=np.int32)
+    cells = [int(np.ceil(e / s)) for e, s in zip(extent, sa)]
+    pos = jnp.floor_divide(coords[:, 1:], jnp.asarray(sa))
+    key = coords[:, 0]
+    ok = valid
+    for i, c in enumerate(cells):
+        ok = ok & (pos[:, i] >= 0) & (pos[:, i] < c)
+        key = key * c + jnp.clip(pos[:, i], 0, c - 1)
+    big = np.iinfo(np.int32).max
+    return jnp.where(ok, key, big)
+
+
+def canonical_sort_keys(coords: jnp.ndarray, valid: jnp.ndarray, stride,
+                        extent=None) -> tuple:
+    """lexsort key tuple (least→most significant) of the canonical order:
+    bounded grids sort by the single flat cell key (batch, row-major);
+    unbounded grids by (batch, morton) with coordinate tie-breakers."""
+    d = coords.shape[1] - 1
+    if _flat_bound(extent, _tuplize(stride, d), d) is not None:
+        return (flat_cell_key(coords, valid, _tuplize(stride, d), extent),)
     s = np.asarray(_tuplize(stride, d), dtype=np.int32)
     m = morton_encode(coords[:, 1:], jnp.asarray(s))
     big = np.iinfo(np.int32).max
     m = jnp.where(valid, m, big)
     b = jnp.where(valid, coords[:, 0], big)
-    if unique_morton:
-        return (m, b)
     minor = tuple(coords[:, i] for i in range(d, 0, -1))
     return minor + (m, b)
 
 
 def canonical_order(coords: jnp.ndarray, valid: jnp.ndarray, stride,
-                    unique_morton: bool = False) -> jnp.ndarray:
-    """Permutation sorting rows into (batch, morton, coord-lex) order, padding last."""
-    return jnp.lexsort(canonical_sort_keys(coords, valid, stride,
-                                           unique_morton))
+                    extent=None) -> jnp.ndarray:
+    """Permutation sorting rows into canonical order, padding last."""
+    keys = canonical_sort_keys(coords, valid, stride, extent)
+    if len(keys) == 1:
+        return jnp.argsort(keys[0])
+    return jnp.lexsort(keys)
 
 
 def unique_coords(
@@ -120,7 +147,7 @@ def unique_coords(
     valid: jnp.ndarray,
     capacity: int,
     stride=1,
-    unique_morton: bool = False,
+    extent=None,
 ):
     """Sort-based dedup into a fixed-capacity canonical buffer.
 
@@ -131,7 +158,7 @@ def unique_coords(
     (callers can detect capacity overflow: ``count > capacity``).
     """
     n, nf = coords.shape
-    order = canonical_order(coords, valid, stride, unique_morton)
+    order = canonical_order(coords, valid, stride, extent)
     sc = coords[order]
     sv = valid[order]
     prev_eq = jnp.concatenate(
@@ -166,9 +193,8 @@ def make_grid(
     """
     d = coords.shape[1] - 1
     capacity = capacity or coords.shape[0]
-    uc, uv, inverse, count = unique_coords(
-        coords, valid, capacity, stride,
-        unique_morton=_morton_injective(extent, _tuplize(stride, d)))
+    uc, uv, inverse, count = unique_coords(coords, valid, capacity, stride,
+                                           extent=extent)
     grid = SparseGrid(
         coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size,
         extent=None if extent is None else tuple(int(e) for e in extent),
@@ -196,9 +222,8 @@ def stride_grid(grid: SparseGrid, stride, capacity: int | None = None) -> Sparse
     )
     down = jnp.where(grid.valid[:, None], down, INVALID_COORD)
     cap = capacity or grid.capacity
-    uc, uv, _, _ = unique_coords(
-        down, grid.valid, cap, new_stride,
-        unique_morton=_morton_injective(grid.extent, new_stride))
+    uc, uv, _, _ = unique_coords(down, grid.valid, cap, new_stride,
+                                 extent=grid.extent)
     return SparseGrid(coords=uc, valid=uv, stride=new_stride,
                       batch_size=grid.batch_size, extent=grid.extent)
 
@@ -228,8 +253,7 @@ def expand_grid(
         for i, (gs, os) in enumerate(zip(grid.stride, out_stride)))
     uc, uv, _, _ = unique_coords(
         cand, cand_valid, capacity, tuple(out_stride),
-        unique_morton=_morton_injective(
-            grid.extent if keep_extent_early else None, tuple(out_stride)))
+        extent=grid.extent if keep_extent_early else None)
     # children stay inside [0, extent) iff offsets are non-negative and do
     # not reach past the parent cell (true for the k2-s2 octree growth)
     keep_extent = grid.extent is not None and offsets.min() >= 0 and all(

@@ -22,6 +22,7 @@ import numpy as np
 
 from .coords import SparseGrid
 from .kernels import KernelSpec
+from . import hashtable as _hashtable
 from . import lut as _lut
 from .lut import build_lut, lut_entries, lut_lookup
 from .search import lookup_sorted
@@ -29,20 +30,31 @@ from .search import lookup_sorted
 
 def grid_lookup(grid: SparseGrid, queries: jnp.ndarray,
                 queries_valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Coordinate → row query with automatic strategy: a dense LUT
-    (`ops.lut`, one direct gather) when the grid has a bounded extent small
-    enough, else static binary search over the canonical order
-    (`ops.search`).  Repeated calls on the same grid inside one jit share the
-    LUT build via XLA CSE (the reference memoizes kernel maps the same way,
-    `docs/benchmark.md:3`)."""
+    """Coordinate → row query with automatic strategy.
+
+    - bounded extent → dense LUT (`ops.lut`, one direct gather; repeated
+      calls on the same grid inside one jit share the build via XLA CSE —
+      the reference memoizes kernel maps the same way, `docs/benchmark.md:3`)
+    - unbounded, CPU backend → static binary search over the canonical
+      order (`ops.search`; fastest compile)
+    - unbounded, accelerator backends → XLA open-addressing hash table
+      (`ops.hashtable`).  The bisection is NOT used there: on the axon TPU
+      backend, `morton_encode`'s bit-interleave miscompiles when fused into
+      large graphs (separately-compiled grid/query key instances disagree →
+      silent lookup misses); the hash path's packed keys + while_loop probing
+      are verified correct in the same fused graphs.
+    """
     if grid.extent is not None and lut_entries(
             grid.extent, grid.stride, grid.batch_size) <= _lut.LUT_MAX_ENTRIES:
         table = build_lut(grid.coords, grid.valid, grid.stride, grid.extent,
                           grid.batch_size)
         return lut_lookup(table, grid.stride, grid.extent, grid.batch_size,
                           queries, queries_valid)
+    if grid.extent is None and jax.default_backend() != "cpu":
+        table = _hashtable.build_table(grid.coords, grid.valid)
+        return _hashtable.lookup(table, queries, queries_valid)
     return lookup_sorted(grid.coords, grid.valid, grid.stride, queries,
-                         queries_valid)
+                         queries_valid, extent=grid.extent)
 
 
 def kernel_map(

@@ -47,13 +47,28 @@ def lookup_sorted(
     stride,
     queries: jnp.ndarray,  # int32[M, 1+D]
     queries_valid: jnp.ndarray | None = None,  # bool[M]
+    extent=None,
 ) -> jnp.ndarray:
-    """Row index of each query in the grid; -1 where absent/invalid."""
+    """Row index of each query in the grid; -1 where absent/invalid.
+
+    ``extent`` must match the value the grid was built with: bounded grids
+    are sorted by the flat row-major cell key (one int32 compare per
+    bisection step, no morton), unbounded by the (batch, morton) pair."""
     n = grid_coords.shape[0]
     mq = queries.shape[0]
-    gb, gm = _keys(grid_coords, grid_valid, stride)
     qv = queries_valid if queries_valid is not None else jnp.ones((mq,), bool)
-    qb, qm = _keys(queries, qv, stride)
+    from .coords import _flat_bound, _tuplize, flat_cell_key
+
+    d = grid_coords.shape[1] - 1
+    st = _tuplize(stride, d)
+    if _flat_bound(extent, st, d) is not None:
+        gb = flat_cell_key(grid_coords, grid_valid, st, extent)
+        gm = jnp.zeros_like(gb)
+        qb = flat_cell_key(queries, qv, st, extent)
+        qm = jnp.zeros_like(qb)
+    else:
+        gb, gm = _keys(grid_coords, grid_valid, stride)
+        qb, qm = _keys(queries, qv, stride)
 
     # lower_bound((qb, qm)) via branch-free bisection — static step count
     lo = jnp.zeros((mq,), jnp.int32)
