@@ -50,6 +50,8 @@ def pallas_sparse_conv(
     assert n_out % tile == 0, "pad N_out to a multiple of the tile size"
     idx_t = nbr_idx.T.astype(jnp.int32)  # [N_out, K]
 
+    cin_ = cin  # noqa: F841
+
     def kern(idx_ref, f_ref, w_ref, out_ref):
         # idx_ref: [tile, K] (this tile's neighbor rows)
         # f_ref:   [N, Cin] (full features, VMEM)
@@ -59,7 +61,10 @@ def pallas_sparse_conv(
         def body(kk, acc):
             idx = idx_ref[:, kk]
             m = (idx >= 0)
-            g = jnp.take(f_ref[:], jnp.where(m, idx, 0), axis=0)
+            safe = jnp.where(m, idx, 0)
+            g = jnp.take_along_axis(
+                f_ref[:], jnp.broadcast_to(safe[:, None], (tile, cin)),
+                axis=0)
             g = g * m[:, None].astype(g.dtype)
             return acc + jax.lax.dot_general(
                 g, w_ref[kk],
