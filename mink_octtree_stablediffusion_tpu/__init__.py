@@ -18,6 +18,7 @@ from .ops import SparseGrid
 from .tensor import (
     SparseTensor,
     cat_slice,
+    dense_coordinates,
     TensorField,
     cat,
     interpolate_at,
@@ -34,6 +35,6 @@ __all__ = [
     "data", "diffusion", "models", "nn", "ops", "parallel", "tensor",
     "train", "SparseGrid",
     "SparseTensor", "TensorField",
-    "cat", "cat_slice", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
+    "cat", "cat_slice", "dense_coordinates", "interpolate_at", "slice_to_field", "sparse_tensor", "stack_mean",
     "stack_sum", "stack_var", "to_sparse_dense", "__version__",
 ]

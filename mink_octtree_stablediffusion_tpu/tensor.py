@@ -362,3 +362,17 @@ def cat_slice(tensor: SparseTensor, field: TensorField,
     sliced = slice_by_inverse(tensor.features, inverse, field.valid)
     return field.with_features(
         jnp.concatenate([field.features, sliced], axis=-1))
+
+
+def dense_coordinates(shape: Sequence[int], batch_size: int = 1) -> jnp.ndarray:
+    """All batched coordinates of a dense grid (reference
+    `dense_coordinates`, `MinkowskiOps.py:246-276`)."""
+    spatial = tuple(int(s) for s in shape)
+    axes = [np.arange(s, dtype=np.int32) for s in spatial]
+    mesh = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1,
+                                                                   len(spatial))
+    n = len(mesh)
+    rows = np.concatenate(
+        [np.repeat(np.arange(batch_size, dtype=np.int32), n)[:, None],
+         np.tile(mesh, (batch_size, 1))], axis=1)
+    return jnp.asarray(rows)

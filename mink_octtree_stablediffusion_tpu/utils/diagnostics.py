@@ -40,3 +40,43 @@ def get_device_memory_info(device=None) -> dict:
         return dict(d.memory_stats() or {})
     except Exception:
         return {}
+
+
+def backend_selfcheck(n: int = 2048, res: int = 16, seed: int = 0) -> bool:
+    """Fused-graph lookup canary for the current backend.
+
+    Builds a small grid and verifies, inside ONE jit graph that also contains
+    a conv-style gather (the combination that exposed a Morton-key
+    miscompilation on a TPU backend — see docs/DESIGN.md §7), that every
+    valid row finds itself at the kernel center offset.  Returns True when
+    the backend is consistent; raise-worthy if not.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import ops, sparse_tensor
+
+    rng = np.random.RandomState(seed)
+    coords = np.concatenate(
+        [np.zeros((n, 1), np.int32), rng.randint(0, res, (n, 3))],
+        axis=1).astype(np.int32)
+    cpad, valid = ops.pad_to_capacity(coords, n)
+    kernel = rng.randn(27, 3, 4).astype(np.float32)
+    spec = ops.KernelSpec(3, 1, ndim=3)
+
+    @jax.jit
+    def fused(cpad, valid, kernel):
+        grid, inverse, _ = ops.make_grid(cpad, valid, n, batch_size=1)
+        nbr = ops.kernel_map(grid, grid, spec)
+        feats = jnp.ones((n, 3), jnp.float32) * grid.valid[:, None]
+        out = ops.sparse_conv_apply(feats, kernel, nbr)
+        return grid.valid, nbr, out
+
+    gv, nbr, _ = fused(jnp.asarray(cpad), jnp.asarray(valid),
+                       jnp.asarray(kernel))
+    gvn = np.asarray(gv)
+    center = np.asarray(nbr)[spec.volume // 2]
+    ar = np.arange(n)
+    return bool((center[gvn] == ar[gvn]).all())
