@@ -86,25 +86,26 @@ def main():
     latent = jax.jit(encode)(st0)
     unet_vars = jax.jit(unet.init)(rng, latent, jnp.zeros((b,), jnp.int32))
 
-    def unet_apply(noised, timesteps, ehs):
-        return unet.apply(unet_vars, noised, timesteps, ehs, train=False)
-
     @jax.jit
-    def sample(latent, key):
+    def sample(uv, vv, latent, key):
+        def unet_apply(noised, timesteps, ehs):
+            return unet.apply(uv, noised, timesteps, ehs, train=False)
+
         z = md.sample_latent(unet_apply, sched, latent, key,
                              num_inference_steps=args.steps)
         z = z.with_features(z.features / 0.1428)
-        _, _, sout = vae.apply(vae_vars, z, st0.grid, train=False,
+        _, _, sout = vae.apply(vv, z, st0.grid, train=False,
                                method=vae.decode)
         return sout.features
 
-    out = sample(latent, jax.random.PRNGKey(1))
+    out = sample(unet_vars, vae_vars, latent, jax.random.PRNGKey(1))
     jax.block_until_ready(out)  # compile
     iters = 3
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(iters):
-        out = sample(latent, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+        out = sample(unet_vars, vae_vars, latent, jax.random.PRNGKey(2 + i))
+        acc += float(jnp.sum(out))  # value fetch: force real completion
     sec_per_sample = (time.perf_counter() - t0) / iters / b
 
     print(json.dumps({

@@ -148,15 +148,15 @@ def main():
     vae_vars = jax.jit(vae.init)(rng, st0, st0.grid, rng)
     vae_vars = jax.tree.map(jax.lax.stop_gradient, vae_vars)
 
-    def encode(st):
+    def encode(st, vv):
         mean, _ = vae.apply(
-            {"params": vae_vars["params"],
-             "batch_stats": vae_vars.get("batch_stats", {})},
+            {"params": vv["params"],
+             "batch_stats": vv.get("batch_stats", {})},
             st, method=vae.encode)
         return mean.with_features(
             jax.lax.stop_gradient(mean.features * args.vae_scale))
 
-    lat0 = jax.jit(encode)(st0)
+    lat0 = jax.jit(encode)(st0, vae_vars)
     ehs0 = encoder([s["caption"] for s in samples])
     unet_vars = jax.jit(unet.init)(rng, lat0, jnp.zeros((b,), jnp.int32),
                                    ehs0)
@@ -166,9 +166,9 @@ def main():
     state = mtrain.TrainState.create(unet_vars["params"], {}, tx)
 
     def loss_fn(params, batch_stats, batch, rng):
-        cpad, valid, ehs = batch
+        cpad, valid, ehs, vv = batch
         st = build(cpad, valid)
-        latent = encode(st)
+        latent = encode(st, vv)
 
         def unet_apply(noised, timesteps, cond):
             return unet.apply({"params": params}, noised, timesteps, cond)
@@ -186,7 +186,8 @@ def main():
             ehs = encoder([s["caption"] for s in samples])
             rng, sub = jax.random.split(rng)
             state, loss, aux = step_fn(
-                state, (jnp.asarray(cpad), jnp.asarray(valid), ehs), sub)
+                state, (jnp.asarray(cpad), jnp.asarray(valid), ehs,
+                        vae_vars), sub)
             step += 1
             if step % 5 == 0 or (args.steps and step >= args.steps):
                 log.info("step %d loss %.5f (%.2f s/step)", step, float(loss),

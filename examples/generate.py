@@ -112,26 +112,28 @@ def main():
              "nll": md.CoordNLLParams.create()})
         unet_vars = {**unet_vars, "params": params["unet"]}
 
-    def unet_apply(noised, timesteps, ehs):
-        return unet.apply(unet_vars, noised, timesteps, ehs, train=False)
-
     @jax.jit
-    def sample(latent, key):
+    def sample(uv, vv, latent, key):
+        def unet_apply(noised, timesteps, ehs):
+            return unet.apply(uv, noised, timesteps, ehs, train=False)
+
         z = md.sample_latent(unet_apply, sched, latent, key,
                              num_inference_steps=cfg.sample_steps)
         z = z.with_features(z.features / cfg.vae_scale)
         out_clss, targets, sout = vae.apply(
-            {"params": vae_vars["params"],
-             "batch_stats": vae_vars.get("batch_stats", {})},
+            {"params": vv["params"],
+             "batch_stats": vv.get("batch_stats", {})},
             z, st0.grid, train=False, method=vae.decode)
         return sout
 
     t0 = time.time()
-    sout = sample(latent, jax.random.PRNGKey(cfg.seed + 1))
+    sout = sample(unet_vars, vae_vars, latent,
+                  jax.random.PRNGKey(cfg.seed + 1))
     jax.block_until_ready(sout.features)
     compile_and_first = time.time() - t0
     t0 = time.time()
-    sout = sample(latent, jax.random.PRNGKey(cfg.seed + 2))
+    sout = sample(unet_vars, vae_vars, latent,
+                  jax.random.PRNGKey(cfg.seed + 2))
     jax.block_until_ready(sout.features)
     steady = time.time() - t0
     log.info("sampled %d voxels across %d instances; first(incl compile) "

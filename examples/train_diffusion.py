@@ -126,17 +126,17 @@ def main():
     latent_stride = 8
     latent_res = max(cfg.resolution // latent_stride, 1)
 
-    def encode(st):
+    def encode(st, vv):
         if cfg.no_vae:
             return st  # diffuse occupancy features directly
         mean, _ = vae.apply(
-            {"params": vae_vars["params"],
-             "batch_stats": vae_vars.get("batch_stats", {})},
+            {"params": vv["params"],
+             "batch_stats": vv.get("batch_stats", {})},
             st, method=vae.encode)
         return mean.with_features(
             jax.lax.stop_gradient(mean.features * cfg.vae_scale))
 
-    lat0 = jax.jit(encode)(st0)
+    lat0 = jax.jit(encode)(st0, vae_vars)
     unet_vars = jax.jit(unet.init)(rng, lat0, jnp.zeros((b,), jnp.int32))
     log.info("unet params: %s", mt.utils.count_params(unet_vars["params"]))
 
@@ -148,9 +148,11 @@ def main():
     state = ckpt.restore(state)
 
     def loss_fn(params, batch_stats, batch, rng):
-        cpad, valid = batch
+        # vae_vars ride in the batch so the frozen VAE is an argument, not
+        # 100s of MB of baked-in constants (compile-time blowup otherwise)
+        cpad, valid, vv = batch
         st = build(cpad, valid)
-        latent = encode(st)
+        latent = encode(st, vv)
         if cfg.noise_point_mode != "none" or cfg.noise_near:
             rng, r_np = jax.random.split(rng)
             latent = md.inject_noise_points(
@@ -171,12 +173,12 @@ def main():
     step_fn = mtrain.make_train_step(loss_fn)
 
     @jax.jit
-    def validate(params, batch, rng):
+    def validate(params, vv, batch, rng):
         """50-step denoise on a real latent coordinate set + frozen decode
         (`diffusion.py:520-658`)."""
         cpad, valid = batch
         st = build(cpad, valid)
-        latent = encode(st)
+        latent = encode(st, vv)
 
         def unet_apply(noised, timesteps, ehs):
             return unet.apply({"params": params["unet"]}, noised, timesteps,
@@ -186,8 +188,8 @@ def main():
                              num_inference_steps=cfg.sample_steps)
         z = z.with_features(z.features / cfg.vae_scale)
         _, _, sout = vae.apply(
-            {"params": vae_vars["params"],
-             "batch_stats": vae_vars.get("batch_stats", {})},
+            {"params": vv["params"],
+             "batch_stats": vv.get("batch_stats", {})},
             z, st.grid, train=False, method=vae.decode)
         return st, sout
 
@@ -199,7 +201,7 @@ def main():
                 [s["coords"] for s in samples], cap, cfg.max_batch_len)
             rng, sub = jax.random.split(rng)
             state, loss, aux = step_fn(
-                state, (jnp.asarray(cpad), jnp.asarray(valid)), sub)
+                state, (jnp.asarray(cpad), jnp.asarray(valid), vae_vars), sub)
             step += 1
             if step % 10 == 0:
                 log.info("step %d loss %.5f denoise %.5f (%.2f s/step)",
@@ -210,7 +212,7 @@ def main():
                 ckpt.save(step, state)
             if cfg.val_every and step % cfg.val_every == 0:
                 sin_v, sout_v = validate(
-                    state.params,
+                    state.params, vae_vars,
                     (jnp.asarray(cpad), jnp.asarray(valid)), rng)
                 path = mt.utils.render_pointclouds(
                     [mt.utils.sparse_tensor_clouds(sin_v, 1)[0],
