@@ -183,9 +183,15 @@ class ResNetStack(nn.Module):
         norm_kind = "instance" if self.use_time_emb else "batch"
         has_tail = self.use_time_emb
         # pin the final layer to out_grid (reference pins the *last* layer,
-        # `diffusion_block.py:252-262`)
-        head_grid = out_grid if (not has_tail and self.use_conv
-                                 and self.after != "upsample") else None
+        # `diffusion_block.py:252-262`).  A pinned-transpose head is the only
+        # geometry source for "upsample_determine", so it always receives the
+        # target grid.
+        if self.use_conv and self.after == "upsample_determine":
+            head_grid = out_grid
+        elif not has_tail and self.use_conv and self.after != "upsample":
+            head_grid = out_grid
+        else:
+            head_grid = None
 
         if self.use_conv:
             mode = {"downsample": "down", "upsample": "up",
