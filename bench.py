@@ -75,8 +75,14 @@ def main():
                     carry, valid, CAPACITY, batch_size=1, extent=EXTENT)
                 f = mt.ops.reduce_by_inverse(f_i, inverse, valid, CAPACITY,
                                              "sum")
-                nbr = mt.ops.kernel_map(grid, grid, spec)
-                out = mt.ops.sparse_conv_apply(f, kernel, nbr)
+                if mt.ops.onehot_conv.enabled(grid):
+                    # fused Pallas path: neighbor search + gather + GEMM in
+                    # one kernel (same work the XLA branch does in stages)
+                    out = mt.ops.fused_sparse_conv(f, kernel, grid, grid,
+                                                   spec, tile=256, tw=512)
+                else:
+                    nbr = mt.ops.kernel_map(grid, grid, spec)
+                    out = mt.ops.sparse_conv_apply(f, kernel, nbr)
                 s = jnp.sum(out)
                 # loop-carried dependence; numerically zero at runtime
                 return carry + (s * 1e-30).astype(jnp.int32), s

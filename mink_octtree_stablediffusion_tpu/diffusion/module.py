@@ -127,17 +127,30 @@ def sample_latent(
     rng: jax.Array,
     num_inference_steps: int = 50,
     encoder_hidden_state: Optional[jnp.ndarray] = None,
+    guidance_scale: float = 1.0,
+    uncond_hidden_state: Optional[jnp.ndarray] = None,
+    steps_offset: int = 0,
 ) -> SparseTensor:
     """Denoise pure N(0,1) features on a fixed latent grid with a whole-graph
     `lax.scan` (`diffusion.py:597-629`; SURVEY.md §3.4 — sampling never
-    generates latent coordinates)."""
-    ts = jnp.asarray(scheduler.timestep_schedule(num_inference_steps))
+    generates latent coordinates).
+
+    Classifier-free guidance: with ``guidance_scale != 1`` and a conditioning
+    ``encoder_hidden_state``, the UNet is evaluated twice per step (cond +
+    uncond) and the outputs combined as
+    ``uncond + scale·(cond − uncond)`` (the reference has no CFG — this is a
+    standard extension; ``uncond_hidden_state`` defaults to zeros, the usual
+    null-conditioning embedding)."""
+    ts = jnp.asarray(
+        scheduler.timestep_schedule(num_inference_steps, steps_offset))
     prev_ts = jnp.concatenate(
         [ts[1:], jnp.full((1,), -1, ts.dtype)])
     r0, rloop = jax.random.split(rng)
     x = jax.random.normal(r0, latent_template.features.shape,
                           latent_template.features.dtype)
-    is_ddim = isinstance(scheduler, DDIMScheduler)
+    use_cfg = guidance_scale != 1.0 and encoder_hidden_state is not None
+    if use_cfg and uncond_hidden_state is None:
+        uncond_hidden_state = jnp.zeros_like(encoder_hidden_state)
 
     def body(carry, t_pair):
         x, key = carry
@@ -145,10 +158,13 @@ def sample_latent(
         key, sub = jax.random.split(key)
         noised = latent_template.with_features(x)
         bsz = latent_template.batch_size
-        out = unet_apply(noised, jnp.full((bsz,), t),
-                         encoder_hidden_state)
+        t_b = jnp.full((bsz,), t)
+        out = unet_apply(noised, t_b, encoder_hidden_state).features
+        if use_cfg:
+            out_uncond = unet_apply(noised, t_b, uncond_hidden_state).features
+            out = out_uncond + guidance_scale * (out - out_uncond)
         step_noise = jax.random.normal(sub, x.shape, x.dtype)
-        x = scheduler.step(out.features, t, pt, x, step_noise)
+        x = scheduler.step(out, t, pt, x, step_noise)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x, rloop), (ts, prev_ts))

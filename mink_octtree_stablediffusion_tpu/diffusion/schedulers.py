@@ -123,11 +123,16 @@ class DDPMScheduler(NamedTuple):
         add = jnp.where(prev_t >= 0, jnp.sqrt(var), 0.0)
         return mean + add * noise
 
-    def timestep_schedule(self, num_inference_steps: int) -> np.ndarray:
-        """Evenly spaced descending timesteps (diffusers `set_timesteps`)."""
+    def timestep_schedule(self, num_inference_steps: int,
+                          steps_offset: int = 0) -> np.ndarray:
+        """Evenly spaced descending timesteps (diffusers `set_timesteps`,
+        "leading" spacing).  ``steps_offset`` shifts every timestep up by a
+        constant (diffusers `steps_offset` config; Stable Diffusion pipelines
+        use 1 so the final step lands on t=1 rather than t=0)."""
         step = self.num_train_timesteps // num_inference_steps
-        return (np.arange(0, num_inference_steps) * step).round()[::-1].astype(
-            np.int32)
+        ts = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(
+            np.int32) + steps_offset
+        return np.clip(ts, 0, self.num_train_timesteps - 1).astype(np.int32)
 
 
 class DDIMScheduler(NamedTuple):
@@ -137,19 +142,24 @@ class DDIMScheduler(NamedTuple):
     prediction_type: str
     clip_sample: bool
     eta: float
+    # diffusers `set_alpha_to_one`: ᾱ used for the final step (prev_t < 0).
+    # True → 1.0 (x0 returned exactly); False → ᾱ_0 of the train schedule.
+    final_alpha_cumprod: float = 1.0
 
     @classmethod
     def create(cls, num_train_timesteps: int = 1000,
                beta_start: float = 0.00085, beta_end: float = 0.012,
                beta_schedule: str = "scaled_linear",
                prediction_type: str = "epsilon", clip_sample: bool = False,
-               eta: float = 0.0) -> "DDIMScheduler":
+               eta: float = 0.0,
+               set_alpha_to_one: bool = True) -> "DDIMScheduler":
         betas = make_betas(num_train_timesteps, beta_start, beta_end,
                            beta_schedule)
         ac = np.cumprod(1.0 - betas)
+        final_ac = 1.0 if set_alpha_to_one else float(ac[0])
         return cls(jnp.asarray(betas, jnp.float32),
                    jnp.asarray(ac, jnp.float32), num_train_timesteps,
-                   prediction_type, clip_sample, eta)
+                   prediction_type, clip_sample, eta, final_ac)
 
     add_noise = DDPMScheduler.add_noise
     get_velocity = DDPMScheduler.get_velocity
@@ -162,7 +172,8 @@ class DDIMScheduler(NamedTuple):
         """One DDIM step (deterministic for eta=0)."""
         ac_t = self.alphas_cumprod[t]
         ac_prev = jnp.where(prev_t >= 0,
-                            self.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+                            self.alphas_cumprod[jnp.maximum(prev_t, 0)],
+                            self.final_alpha_cumprod)
         x0, eps = self._predict_x0_eps(model_output, sample, t)
         if self.eta > 0.0:
             assert noise is not None

@@ -36,6 +36,7 @@ from ..ops import (
     stride_grid,
 )
 from ..ops.dense_conv import dense_conv_applicable, dense_conv_apply
+from ..ops import onehot_conv as _oh
 from ..tensor import SparseTensor
 
 Size = Union[int, Tuple[int, ...]]
@@ -90,6 +91,12 @@ class SparseConv(nn.Module):
             else:
                 out_grid = stride_grid(x.grid, spec.stride,
                                        self.out_capacity or x.capacity)
+        # fused Pallas one-hot conv: kernel-map search + gather + GEMM in one
+        # kernel — the TPU fast path for bounded grids (ops.onehot_conv)
+        if _oh.enabled(x.grid):
+            out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
+                                        spec, bias)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         # bounded stride-1 odd-kernel convs take the densify->MXU-conv path
         # (ops.dense_conv) — ~10x the gather-GEMM throughput on TPU
         if out_grid is x.grid and dense_conv_applicable(
@@ -128,6 +135,10 @@ class SparseConvTranspose(nn.Module):
         kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
+        if _oh.enabled(x.grid):
+            out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
+                                        spec, bias)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
                                 compute_dtype=self.dtype)
@@ -159,6 +170,10 @@ class GenerativeConvTranspose(nn.Module):
         out_stride = spec.out_stride(x.tensor_stride)
         offs = spec.absolute_offsets(x.tensor_stride)
         out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
+        if _oh.enabled(x.grid):
+            out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
+                                        spec, bias)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
                                 compute_dtype=self.dtype)

@@ -25,6 +25,7 @@ from .kernels import KernelSpec, RegionType, hybrid_region_offsets, region_offse
 from .morton import morton_decode, morton_encode, morton_encode_np
 from .lut import LUT_MAX_ENTRIES, build_lut, lut_lookup
 from .neighbors import get_coords_map, grid_lookup, identity_map, kernel_map, membership
+from .onehot_conv import fused_sparse_conv, onehot_sparse_conv, use_onehot_conv
 from .search import lookup_sorted
 from .pool import broadcast_batch, global_pool, local_pool_apply
 from .pruning import prune, top_k_mask
@@ -44,4 +45,5 @@ __all__ = [
     "LUT_MAX_ENTRIES", "build_lut", "lut_lookup", "lookup_sorted", "broadcast_batch", "global_pool",
     "local_pool_apply", "prune", "top_k_mask", "coo_spmm", "reduce_by_inverse",
     "slice_by_inverse", "union",
+    "fused_sparse_conv", "onehot_sparse_conv", "use_onehot_conv",
 ]

@@ -1,0 +1,607 @@
+"""Windowed one-hot gather-GEMM sparse convolution (Pallas, TPU).
+
+The XLA row-gather that drives `ops.conv.sparse_conv_apply` runs far below
+streaming bandwidth on narrow rows (docs/DESIGN.md §7) — per-row overhead
+dominates.  This kernel removes the row gather entirely by turning it into
+MXU work, exploiting a structural property of this engine's kernel maps:
+grids are stored in canonical flat-key order and a fixed kernel offset
+shifts the flat key by a constant, so ``nbr_idx[k, :]`` is **monotonically
+increasing over its valid entries**, and all K neighborhoods of a T-row
+output tile live in one narrow contiguous input window.
+
+Per output tile:
+  1. ONE DMA of the union window ``f[lo : lo+TW]`` HBM→VMEM (contiguous,
+     shared by all K offsets; channels padded to the 128 lane width);
+  2. for each offset k: ``G_k = onehot_k @ window`` — the gather, executed
+     as a (T, TW)x(TW, Cin) MXU matmul with
+     ``onehot_k[i, j] = (idx_k[i] - lo == j)``;
+  3. ``out = [G_0 | ... | G_{K-1}] @ W_stack`` — one (T, K*Cin)x(K*Cin,
+     Cout) MXU matmul (same contraction as the fused XLA path).
+
+Windows wider than TW (rare: only where occupancy jumps sharply inside a
+tile) are handled exactly by looping chunks of TW — never a fallback, never
+an approximation.  Monotonicity is a *performance* property only; the
+kernel is correct for arbitrary index distributions.
+
+Compute runs in bf16 with fp32 accumulation by default (the one-hot values
+and the gathered copies are exact in bf16; only the feature rounding f32→
+bf16 is approximate — the framework's established MXU compute mode).  Pass
+``compute_dtype=jnp.float32`` for full precision at reduced MXU rate.
+
+This plays the role of the reference's native gather-GEMM-scatter conv
+(`pybind/extern.hpp:53-115`) with the gather lifted onto the systolic array.
+
+Backward (custom_vjp) uses the XLA formulation (segment scatter + einsum) —
+identical cost to autodiff of the XLA forward, so training is never slower;
+a one-hot transpose backward is the next step (docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ENABLED: bool | None = None  # None = auto (on for TPU-like backends)
+
+
+def use_onehot_conv(flag: bool | None) -> None:
+    """Route bounded-grid convs through the fused Pallas kernel.
+
+    True/False force it; None (default) enables it automatically on
+    accelerator backends (CPU keeps the XLA gather path — Mosaic kernels
+    don't run there outside interpreter mode)."""
+    global _ENABLED
+    _ENABLED = flag
+
+
+def enabled(grid=None) -> bool:
+    if _ENABLED is not None:
+        flag = _ENABLED
+    else:
+        flag = jax.default_backend() not in ("cpu",)
+    if grid is not None:
+        flag = flag and grid.extent is not None
+    return flag
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _union_vma(*arrays) -> frozenset:
+    """Union of the inputs' varying-manual-axes — under `shard_map` with
+    `check_vma=True` the pallas_call out_shape must declare which mesh axes
+    the output varies over (it varies wherever any input does)."""
+    vma = frozenset()
+    for a in arrays:
+        vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
+
+
+def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
+                  compute_dtype) -> tuple | None:
+    """Fit (tile, tw, co_t) into the 16M scoped-VMEM limit, or None.
+
+    Mosaic double-buffers every grid-indexed block, so block pairs count
+    twice; wide layers would otherwise OOM at AOT compile (e.g. the full
+    [27·768, 640] weight block).  Shrinks, in order: the row tile (gather
+    accumulator scratch), the DMA window, then the cout block (lane rule:
+    multiple of 128 or == cout).  Requested values are honored whenever they
+    fit; None means even the smallest legal configuration exceeds the budget
+    (callers fall back to the unfused XLA path)."""
+    wbytes = jnp.dtype(compute_dtype).itemsize
+    cinp = max(_round_up(cin + 1, 128), 128)
+
+    def est(t, w, c):
+        return (t * k_pad * cinp * wbytes + 2 * w * cinp * 4 +
+                2 * k_pad * cinp * c * wbytes + 2 * t * c * 4 +
+                2 * k_pad * t * 4)
+
+    # 13.5M: 16M limit minus ~2.5M empirical allocator overhead/alignment
+    budget = 27 * 2 ** 19
+    tiles = [t for t in (tile, tile // 2, tile // 4) if t >= 32] or [32]
+    tws = [w for w in (tw, tw // 2) if w >= 128] or [128]
+    cos = [c for c in (cout, 512, 384, 256, 128)
+           if c == cout or (c < cout and c % 128 == 0)]
+    for t in tiles:
+        for w in tws:
+            for c in cos:
+                if est(t, w, c) <= budget:
+                    return t, w, c
+    return None
+
+
+def _window_params(idx_t: jnp.ndarray, tile: int, tw: int):
+    """Per-tile union-window start and chunk count over ALL offsets.
+
+    idx_t: int32[n_pad, K] neighbor rows (-1 = missing), n_pad % tile == 0.
+    Returns (lo int32[nt], nch int32[nt]).
+    """
+    n_pad, k = idx_t.shape
+    nt = n_pad // tile
+    it = idx_t.reshape(nt, tile * k)
+    valid = it >= 0
+    lo = jnp.min(jnp.where(valid, it, np.int32(2 ** 30)), axis=1)
+    hi = jnp.max(jnp.where(valid, it, np.int32(-1)), axis=1)
+    any_valid = jnp.any(valid, axis=1)
+    # align window starts to the sublane tiling (8) — DMA offsets must be
+    # provably 8-divisible on TPU
+    lo = jnp.where(any_valid, (lo // 8) * 8, 0).astype(jnp.int32)
+    nch = jnp.where(any_valid, (hi - lo) // tw + 1, 0).astype(jnp.int32)
+    return lo, nch
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "tw", "compute_dtype", "interpret"))
+def onehot_sparse_conv(
+    features: jnp.ndarray,  # [N, Cin]
+    kernel: jnp.ndarray,  # [K, Cin, Cout]
+    nbr_idx: jnp.ndarray,  # int32[K, N_out], -1 = missing neighbor
+    tile: int = 256,
+    tw: int = 512,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, cin = features.shape
+    k, n_out = nbr_idx.shape
+    cout = kernel.shape[2]
+    nt = -(-n_out // tile)
+    n_pad = nt * tile
+    cinp = max(_round_up(cin, 128), 128)
+    cd = compute_dtype
+
+    idx_t = nbr_idx.T.astype(jnp.int32)
+    if n_pad != n_out:
+        idx_t = jnp.pad(idx_t, ((0, n_pad - n_out), (0, 0)),
+                        constant_values=-1)
+    lo, nch = _window_params(idx_t, tile, tw)
+    # channel-pad to the lane width; row-pad so chunk DMAs stay in bounds
+    f_pad = jnp.pad(features.astype(cd), ((0, tw), (0, cinp - cin)))
+    # [K, Cin, Cout] -> [K*CinP, Cout], matching the gcat lane concatenation
+    w_stack = jnp.pad(kernel.astype(cd),
+                      ((0, 0), (0, cinp - cin), (0, 0))).reshape(
+                          k * cinp, cout)
+
+    def kern(lo_ref, nch_ref, idx_ref, f_ref, w_ref, out_ref, fwin, gcat,
+             sem):
+        t = pl.program_id(0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, tw), 1)
+        gcat[...] = jnp.zeros_like(gcat)
+
+        def chunk(c, _):
+            base = pl.multiple_of(lo_ref[t] + c * tw, 8)
+            cp = pltpu.make_async_copy(f_ref.at[pl.ds(base, tw), :], fwin,
+                                       sem)
+            cp.start()
+            cp.wait()
+            w = fwin[:]
+            for kk in range(k):
+                rel = idx_ref[:, kk:kk + 1] - base  # [T, 1]
+                oh = (rel == iota).astype(cd)
+                g = jax.lax.dot_general(
+                    oh, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sl = slice(kk * cinp, (kk + 1) * cinp)
+                gcat[:, sl] = gcat[:, sl] + g.astype(cd)
+            return 0
+
+        jax.lax.fori_loop(0, nch_ref[t], chunk, 0)
+        out_ref[:] = jax.lax.dot_general(
+            gcat[...], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((tile, k), lambda t, lo, nch: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
+            pl.BlockSpec((k * cinp, cout), lambda t, lo, nch: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, lo, nch: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tw, cinp), cd),
+            pltpu.VMEM((tile, k * cinp), cd),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, cout), features.dtype,
+                                       vma=_union_vma(features, kernel,
+                                                      nbr_idx)),
+        interpret=interpret,
+    )(lo, nch, idx_t, f_pad, w_stack)
+    return out[:n_out]
+
+
+class _FusedStatic:
+    """Hashable static config for the fused conv primitive (custom_vjp
+    nondiff arg)."""
+
+    def __init__(self, offs, s_in, extent, tile, tw, group, cd, interpret):
+        self.offs = tuple(map(tuple, offs))  # absolute units, sign applied
+        self.s_in = tuple(s_in)
+        self.extent = tuple(extent)
+        self.tile = tile
+        self.tw = tw
+        self.group = group
+        self.cd = cd
+        self.interpret = interpret
+
+    def _key(self):
+        return (self.offs, self.s_in, self.extent, self.tile, self.tw,
+                self.group, jnp.dtype(self.cd).name, self.interpret)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _FusedStatic) and self._key() == other._key()
+
+    def flipped(self, s_out):
+        """Static config of the TRANSPOSE direction (for the dF backward):
+        grids swap roles, offsets negate, lattice stride becomes s_out."""
+        return _FusedStatic([[-o for o in off] for off in self.offs], s_out,
+                            self.extent, self.tile, self.tw, self.group,
+                            self.cd, self.interpret)
+
+
+def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
+                out_valid):
+    """Array-level fused one-hot conv forward (see `fused_sparse_conv`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .coords import flat_cell_key
+
+    tile, tw, group = static.tile, static.tw, static.group
+    n, cin = features.shape
+    k_vol, cout = kernel.shape[0], kernel.shape[2]
+    n_out = out_coords.shape[0]
+    cd = static.cd
+    # one extra lane carries the bitcast key; pad lanes to the 128 width
+    cinp = max(_round_up(cin + 1, 128), 128)
+    key_lane = cinp - 1
+    k_pad_0 = -(-k_vol // group) * group
+    params = select_params(cin, cout, k_pad_0, tile, tw, cd)
+    assert params is not None, (
+        "fused conv VMEM budget exceeded — fused_sparse_conv should have "
+        "fallen back to the XLA path")
+    tile, tw, co_t = params
+    nt = -(-n_out // tile)
+    n_pad = nt * tile
+
+    # --- static flat-key geometry (numpy) ---
+    s_in = np.asarray(static.s_in, np.int64)
+    cells = np.asarray([int(np.ceil(e / s)) for e, s in
+                        zip(static.extent, s_in)], np.int64)
+    flat_strides = np.concatenate(
+        [np.cumprod(cells[::-1])[::-1][1:], [1]]).astype(np.int64)
+    offs_abs = np.asarray(static.offs, np.int64)  # [K, D] coordinate units
+    assert k_vol == offs_abs.shape[0]
+    n_groups = -(-k_vol // group)
+    k_pad = n_groups * group
+
+    # --- query keys per (out row, offset), -1 = out of bounds/invalid ---
+    # General form: query coordinate = out_coord + delta must (a) lie ON the
+    # input lattice (transpose convs probe misaligned coordinates for most
+    # offsets — flooring them into a cell would falsely match that cell's
+    # occupant), (b) lie inside the extent, (c) come from a valid row.
+    qc = (out_coords[:, None, 1:] +
+          jnp.asarray(offs_abs, jnp.int32)[None])  # [N_out, K, D]
+    sj = jnp.asarray(s_in, jnp.int32)
+    qpos = jnp.floor_divide(qc, sj)  # [N_out, K, D]
+    aligned = jnp.all(qc - qpos * sj == 0, axis=-1)
+    ok = jnp.all((qpos >= 0) & (qpos < jnp.asarray(cells, jnp.int32)),
+                 axis=-1)
+    ok = ok & aligned & out_valid[:, None]
+    qkey = (out_coords[:, :1] * np.int32(int(np.prod(cells))) +
+            qpos @ jnp.asarray(flat_strides, jnp.int32))  # [N_out, K]
+    qk = jnp.where(ok, qkey, np.int32(-1))
+    qk = jnp.pad(qk, ((0, n_pad - n_out), (0, k_pad - k_vol)),
+                 constant_values=-1)
+    # layout [nt, 1, K_pad*T]: per-offset lane-contiguous query rows
+    qk_tiles = qk.reshape(nt, tile, k_pad).transpose(0, 2, 1).reshape(
+        nt, 1, k_pad * tile)
+
+    # --- per-tile window bounds via searchsorted over the sorted keys ---
+    in_keys = flat_cell_key(in_coords, in_valid, static.s_in,
+                            static.extent)  # sorted; INT32_MAX padding
+    qvalid = qk_tiles >= 0
+    qmin = jnp.min(jnp.where(qvalid, qk_tiles, np.int32(2 ** 30)),
+                   axis=(1, 2))
+    qmax = jnp.max(jnp.where(qvalid, qk_tiles, np.int32(-1)), axis=(1, 2))
+    any_valid = jnp.any(qvalid, axis=(1, 2))
+    lo = jnp.searchsorted(in_keys, qmin, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(in_keys, qmax, side="right").astype(jnp.int32)
+    lo = jnp.where(any_valid, (lo // 8) * 8, 0)
+    nch = jnp.where(any_valid,
+                    (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
+
+    # --- feature array with the key riding in a spare bitcast lane ---
+    # valid keys < 2^30 (flat-key bound); padding keys clip to exactly 2^30
+    # so every stored bit pattern is a finite float (never NaN: 0 * key_lane
+    # stays 0 in the gather matmul) and can never equal a query key.
+    key_f32 = jax.lax.bitcast_convert_type(
+        jnp.minimum(in_keys, np.int32(2 ** 30)), jnp.float32)
+    f_aug = jnp.zeros((n + tw, cinp), jnp.float32)
+    f_aug = f_aug.at[:n, :cin].set(features.astype(jnp.float32))
+    f_aug = f_aug.at[:n, key_lane].set(key_f32)
+    # cout tiling (co_t chosen above): the cout grid dim is inner, so the
+    # gather accumulator `gcat` is computed once per row tile and reused
+    # across weight tiles
+    nco = -(-cout // co_t)
+    cout_pad = nco * co_t
+    w_stack = jnp.pad(kernel.astype(cd),
+                      ((0, k_pad - k_vol), (0, cinp - cin),
+                       (0, cout_pad - cout))).reshape(k_pad * cinp, cout_pad)
+
+    def kern(lo_ref, nch_ref, qk_ref, f_ref, w_ref, out_ref, fwin2, gcat,
+             sem2):
+        t = pl.program_id(0)
+        co = pl.program_id(1)
+        n_prog = pl.num_programs(0)
+        slot = jax.lax.rem(t, 2)
+
+        def mk_dma(tt, s, c):
+            base = pl.multiple_of(lo_ref[tt], 8) + c * tw
+            return pltpu.make_async_copy(
+                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s])
+
+        def compute(fw_f32, first: bool):
+            keys_w = jax.lax.bitcast_convert_type(
+                fw_f32[:, key_lane:key_lane + 1], jnp.int32)  # [TW, 1]
+            fw = fw_f32.astype(cd)
+            for g in range(n_groups):
+                sl_q = slice(g * group * tile, (g + 1) * group * tile)
+                qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
+                oht = (keys_w == qg).astype(cd)  # [TW, group*T]
+                gg = jax.lax.dot_general(
+                    oht, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [group*T, CinP]
+                for j in range(group):
+                    sl_c = slice((g * group + j) * cinp,
+                                 (g * group + j + 1) * cinp)
+                    v = gg[j * tile:(j + 1) * tile].astype(cd)
+                    if first:
+                        gcat[:, sl_c] = v
+                    else:
+                        gcat[:, sl_c] = gcat[:, sl_c] + v
+
+        # the gather (window DMA + one-hot matmuls) runs once per row tile,
+        # on the first cout step; later cout steps reuse gcat from scratch
+        @pl.when(co == 0)
+        def _():
+            @pl.when(t == 0)
+            def _():
+                mk_dma(0, 0, 0).start()
+
+            mk_dma(t, slot, 0).wait()
+
+            @pl.when(t + 1 < n_prog)
+            def _():
+                mk_dma(t + 1, 1 - slot, 0).start()
+
+            compute(fwin2[slot], first=True)
+
+            def spill(c, _):
+                # rare wide-window chunks: serial DMA into this tile's slot
+                dma = mk_dma(t, slot, c)
+                dma.start()
+                dma.wait()
+                compute(fwin2[slot], first=False)
+                return 0
+
+            jax.lax.fori_loop(1, nch_ref[t], spill, 0)
+
+        zero = nch_ref[t] == 0
+
+        @pl.when(zero)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(zero))
+        def _():
+            out_ref[:] = jax.lax.dot_general(
+                gcat[...], w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt, nco),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad * tile),
+                         lambda t, co, lo, nch: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # features+keys stay in HBM
+            pl.BlockSpec((k_pad * cinp, co_t), lambda t, co, lo, nch: (0, co),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, co_t), lambda t, co, lo, nch: (t, co),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tw, cinp), jnp.float32),
+            pltpu.VMEM((tile, k_pad * cinp), cd),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, cout_pad), features.dtype,
+            vma=_union_vma(features, kernel, in_coords, out_coords)),
+        interpret=static.interpret,
+    )(lo, nch, qk_tiles, f_aug, w_stack)
+    return out[:n_out, :cout]
+
+
+def _extract_nbr(static, in_coords, in_valid, out_coords, out_valid):
+    """Materialize the kernel map `int32[K, N_out]` with ONE fused pass.
+
+    Trick: run the one-hot gather with the input ROW INDEX as the feature,
+    base-256-digit encoded over two channels so every value is exact in
+    bf16 (indices < 65536 → both digits <= 255); a +1 on the low digit
+    distinguishes row 0 from "no neighbor".  Used by the custom_vjp backward
+    (the reference's ConvolutionBackward receives the same cached kernel map
+    from its manager, `pybind/extern.hpp:87-115`)."""
+    n = in_coords.shape[0]
+    n_out = out_coords.shape[0]
+    k_vol = len(static.offs)
+    assert n <= (1 << 16), "extend the digit encoding for capacities > 65536"
+    idx = jnp.arange(n, dtype=jnp.int32)
+    feats = jnp.stack([idx // 256, idx % 256 + 1], axis=1).astype(jnp.float32)
+    w_id = np.zeros((k_vol, 2, 2 * k_vol), np.float32)
+    for kk in range(k_vol):
+        w_id[kk, 0, 2 * kk] = 1.0
+        w_id[kk, 1, 2 * kk + 1] = 1.0
+    dig = _fused_impl(static, feats, jnp.asarray(w_id), in_coords, in_valid,
+                      out_coords, out_valid)  # [N_out, 2K]
+    hi = jnp.round(dig[:, 0::2]).astype(jnp.int32)  # [N_out, K]
+    lo1 = jnp.round(dig[:, 1::2]).astype(jnp.int32)
+    nbr = jnp.where(lo1 > 0, hi * 256 + lo1 - 1, -1)
+    return nbr.T  # [K, N_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_conv(static, features, kernel, in_coords, in_valid, out_coords,
+                out_valid):
+    return _fused_impl(static, features, kernel, in_coords, in_valid,
+                       out_coords, out_valid)
+
+
+def _fused_fwd(static, features, kernel, in_coords, in_valid, out_coords,
+               out_valid):
+    out = _fused_impl(static, features, kernel, in_coords, in_valid,
+                      out_coords, out_valid)
+    return out, (features, kernel, in_coords, in_valid, out_coords,
+                 out_valid)
+
+
+def _fused_bwd(static, res, g):
+    features, kernel, ic, iv, oc, ov = res
+    nbr = _extract_nbr(static, ic, iv, oc, ov)
+    dfeat, dkernel = _xla_backward(features, kernel, nbr, g)
+    f0 = jax.dtypes.float0
+    return (dfeat, dkernel, np.zeros(ic.shape, f0), np.zeros(iv.shape, f0),
+            np.zeros(oc.shape, f0), np.zeros(ov.shape, f0))
+
+
+_fused_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_sparse_conv(
+    features: jnp.ndarray,  # [N_in, Cin], rows in in_grid canonical order
+    kernel: jnp.ndarray,  # [K, Cin, Cout]
+    in_grid,
+    out_grid,
+    spec,
+    bias: jnp.ndarray | None = None,
+    tile: int = 128,
+    tw: int = 256,
+    group: int = 9,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sparse conv with the neighbor SEARCH fused into the Pallas kernel.
+
+    Replaces kernel-map build + gather (the two narrow-gather stages that
+    dominate the XLA pipeline) with in-kernel flat-key matching: the one-hot
+    is built by comparing each output row's precomputed query key (the flat
+    key of ``out_coord + delta_k``, with lattice-alignment and bounds masks,
+    so plain, strided, transposed and generative convs all work) against the
+    input window's keys, which travel inside a spare bitcast feature lane of
+    the same window DMA.  No ``int32[K, N_out]`` kernel map is ever
+    materialized in the forward; the LUT/search machinery
+    (`ops.neighbors.grid_lookup`) is bypassed entirely.
+
+    Requires a bounded grid (``extent``) and rows in canonical flat-key order
+    (`ops.coords.flat_cell_key` — what `make_grid` produces).  Window starts
+    per tile come from two `searchsorted` calls over the sorted key array
+    (one per tile instead of K*N_out lookups).
+
+    Scheduling: offsets are processed ``group`` at a time (one wide compare +
+    one MXU matmul per group — few, large ops instead of K small ones); the
+    per-tile window DMA is double-buffered across grid steps (tile t
+    prefetches tile t+1's window before computing), so HBM latency hides
+    behind the MXU.  Spill chunks (windows wider than ``tw``) run serially —
+    they are data-rare and exact.
+
+    Differentiable: the custom_vjp backward extracts the kernel map with one
+    extra fused pass (`_extract_nbr`) and applies the standard
+    gather/scatter transpose.
+    """
+    assert in_grid.extent is not None, "fused conv requires a bounded grid"
+    k_pad = -(-spec.volume // group) * group
+    if select_params(features.shape[1], kernel.shape[2], k_pad, tile, tw,
+                     compute_dtype) is None:
+        # even the smallest legal blocking exceeds scoped VMEM (extremely
+        # wide layers): unfused XLA path
+        from .conv import sparse_conv_apply
+        from .neighbors import kernel_map
+        nbr = kernel_map(in_grid, out_grid, spec)
+        return sparse_conv_apply(features, kernel, nbr, bias,
+                                 compute_dtype=compute_dtype)
+    offs = spec.absolute_offsets(in_grid.stride)
+    if spec.transpose:
+        offs = -offs
+    from .coords import _tuplize
+
+    static = _FusedStatic(np.asarray(offs, np.int64).tolist(),
+                          _tuplize(in_grid.stride, in_grid.ndim),
+                          in_grid.extent, tile, tw, group, compute_dtype,
+                          interpret)
+    out = _fused_conv(static, features, kernel, in_grid.coords,
+                      in_grid.valid, out_grid.coords, out_grid.valid)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _xla_backward(features, kernel, nbr_idx, g):
+    """Cotangents via the XLA gather/scatter formulation — the exact
+    transpose the reference's ConvolutionBackward computes
+    (`pybind/extern.hpp:87-115`)."""
+    k, n_out = nbr_idx.shape
+    n, cin = features.shape
+    idx_t = nbr_idx.T  # [N_out, K]
+    m = idx_t >= 0
+    safe = jnp.where(m, idx_t, 0)
+    gathered = features[safe] * m[..., None].astype(features.dtype)
+    dkernel = jnp.einsum("nkc,no->kco", gathered, g)
+    gw = jnp.einsum("no,kco->nkc", g, kernel) * m[..., None].astype(g.dtype)
+    dfeat = jnp.zeros_like(features).at[safe.reshape(-1)].add(
+        gw.reshape(n_out * k, cin))
+    return dfeat, dkernel
+
+
+@jax.custom_vjp
+def onehot_conv(features, kernel, nbr_idx):
+    return onehot_sparse_conv(features, kernel, nbr_idx)
+
+
+def _fwd(features, kernel, nbr_idx):
+    return onehot_sparse_conv(features, kernel, nbr_idx), (
+        features, kernel, nbr_idx)
+
+
+def _bwd(res, g):
+    features, kernel, nbr_idx = res
+    dfeat, dkernel = _xla_backward(features, kernel, nbr_idx, g)
+    return dfeat, dkernel, np.zeros(nbr_idx.shape, dtype=jax.dtypes.float0)
+
+
+onehot_conv.defvjp(_fwd, _bwd)

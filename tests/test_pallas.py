@@ -8,6 +8,114 @@ import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu.ops.pallas_conv import pallas_sparse_conv
 
 
+def _sphere(rng, n, cap, cin, ext, bsz=1):
+    coords = []
+    for b in range(bsz):
+        c = np.unique(rng.randint(0, ext, (n, 3)), axis=0)
+        coords.append(np.concatenate(
+            [np.full((len(c), 1), b, np.int32), c], 1))
+    coords = np.concatenate(coords).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (rng.randn(cap, cin) * valid[:, None]).astype(np.float32)
+    return jax.jit(lambda c, f, v: mt.sparse_tensor(
+        c, f, capacity=cap, valid=v, batch_size=bsz, extent=(ext,) * 3))(
+        jnp.asarray(cpad), jnp.asarray(feats), jnp.asarray(valid))
+
+
+def test_fused_onehot_conv_matches_xla(rng):
+    st = _sphere(rng, 400, 1024, 3, 16, bsz=2)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, 3, 16).astype(np.float32) * 0.1)
+    ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+        st.features, kern)
+    out = mt.ops.fused_sparse_conv(
+        st.features, kern, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fused_onehot_conv_grads_match_xla(rng):
+    st = _sphere(rng, 300, 512, 4, 12)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32) * 0.1)
+    gout = jnp.asarray(rng.randn(512, 8).astype(np.float32))
+    dref = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+        st.features, kern)
+    dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout),
+        argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_onehot_conv_strided_and_transpose(rng):
+    # strided downsample conv
+    st = _sphere(rng, 300, 512, 5, 12, bsz=2)
+    spec = mt.ops.KernelSpec(3, 2, ndim=3)
+    og = jax.jit(lambda g: mt.ops.stride_grid(g, 2, 512))(st.grid)
+    nbr = jax.jit(lambda gi, go: mt.ops.kernel_map(gi, go, spec))(st.grid, og)
+    kern = jnp.asarray(rng.randn(27, 5, 7).astype(np.float32) * 0.1)
+    ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+        st.features, kern)
+    out = mt.ops.fused_sparse_conv(st.features, kern, st.grid, og, spec,
+                                   tile=128, tw=128,
+                                   compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    # transposed conv back up onto the fine grid (alignment-mask path)
+    spec_t = mt.ops.KernelSpec(2, 2, ndim=3, transpose=True)
+    nbr_t = jax.jit(lambda gi, go: mt.ops.kernel_map(gi, go, spec_t))(
+        og, st.grid)
+    kern_t = jnp.asarray(rng.randn(8, 5, 6).astype(np.float32) * 0.1)
+    ref_t = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr_t))(
+        st.features[:512], kern_t)
+    out_t = mt.ops.fused_sparse_conv(
+        st.features[:512], kern_t, og, st.grid, spec_t, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_onehot_conv_cout_tiled(rng):
+    # narrow cin + very wide cout forces the cout-block grid dimension
+    # (weight pair over the VMEM budget) while staying cheap in interpret
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    assert oh.select_params(3, 2048, 27, 128, 256, jnp.bfloat16)[2] < 2048
+    st = _sphere(rng, 150, 256, 3, 10)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, 3, 2048).astype(np.float32) * 0.1)
+    ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+        st.features, kern)
+    out = mt.ops.fused_sparse_conv(
+        st.features, kern, st.grid, st.grid, spec, tile=128, tw=256,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fused_select_params_vmem_budget():
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    # requested config honored when it fits
+    assert oh.select_params(3, 32, 27, 256, 512, jnp.bfloat16) == (
+        256, 512, 32)
+    # wide layers shrink but stay legal (co_t multiple of 128 or == cout)
+    for cin, cout in ((640, 640), (512, 512), (256, 640)):
+        p = oh.select_params(cin, cout, 27, 128, 256, jnp.bfloat16)
+        assert p is not None
+        t, w, c = p
+        assert t >= 32 and w >= 128 and (c == cout or c % 128 == 0)
+    # absurd widths refuse (callers fall back to the XLA path)
+    assert oh.select_params(1024, 1024, 27, 128, 256, jnp.bfloat16) is None
+
+
 def test_pallas_conv_matches_xla(rng):
     n, cap, cin, cout = 100, 256, 8, 16
     coords = np.concatenate(
