@@ -1,6 +1,7 @@
 """Data pipeline: mesh sampling, voxelization, fixed-capacity collation."""
 
 from .collate import collate_fields, collate_pointclouds, stack_devices
+from .prefetch import PrefetchLoader
 from .datasets import (
     ModelNet40Dataset,
     ObjaverseDataset,
@@ -19,7 +20,7 @@ from .mesh import (
 )
 
 __all__ = [
-    "collate_fields", "collate_pointclouds", "stack_devices",
+    "collate_fields", "collate_pointclouds", "stack_devices", "PrefetchLoader",
     "ModelNet40Dataset", "ObjaverseDataset", "ShapeNetDataset", "SyntheticShapes",
     "batch_iterator", "load_glb", "load_off", "normalize_to_resolution", "point_budget",
     "resample_mesh", "resample_mesh_count", "rotate_point_cloud",

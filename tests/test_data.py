@@ -80,3 +80,41 @@ def test_native_label_consensus(rng):
     assert got[(0, 0, 0)] == 5       # agreeing labels kept
     assert got[(1, 1, 1)] == 7
     assert got[(2, 2, 2)] == -100    # conflict → invalid
+
+
+def test_prefetch_loader_order_and_sharding():
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    src = [{"x": np.full((8, 2), i, np.float32), "i": np.int32(i)}
+           for i in range(7)]
+    out = list(mt.data.PrefetchLoader(iter(src), prefetch=3))
+    assert [int(b["i"]) for b in out] == list(range(7))
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), src[i]["x"])
+        assert isinstance(b["x"], jax.Array)
+
+    # data-parallel sharding commit
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    out = list(mt.data.PrefetchLoader(
+        ({"x": np.arange(16, dtype=np.float32).reshape(8, 2)} for _ in
+         range(2)), sharding=sh))
+    assert out[0]["x"].sharding == sh
+
+    # source errors surface at the consumer
+    def bad():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+    it = mt.data.PrefetchLoader(bad(), prefetch=1)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+
+    # early close unblocks a full queue
+    with mt.data.PrefetchLoader(iter(src), prefetch=1) as pl:
+        next(pl)
