@@ -36,6 +36,7 @@ from ..ops import (
     stride_grid,
 )
 from ..ops.dense_conv import dense_conv_applicable, dense_conv_apply
+from ..ops.conv import default_compute_dtype
 from ..ops import onehot_conv as _oh
 from ..tensor import SparseTensor
 
@@ -70,7 +71,7 @@ class SparseConv(nn.Module):
     region_type: RegionType = RegionType.HYPER_CUBE
     out_capacity: Optional[int] = None
     ndim: int = 3
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None -> ops.conv.default_compute_dtype()
 
     @nn.compact
     def __call__(self, x: SparseTensor, out_grid: Optional[SparseGrid] = None
@@ -79,6 +80,7 @@ class SparseConv(nn.Module):
                           ndim=self.ndim, region_type=self.region_type)
         cin = x.num_channels
         kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        cd = self.dtype or default_compute_dtype()
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
 
@@ -95,18 +97,18 @@ class SparseConv(nn.Module):
         # kernel — the TPU fast path for bounded grids (ops.onehot_conv)
         if _oh.enabled(x.grid):
             out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
-                                        spec, bias)
+                                        spec, bias, compute_dtype=cd)
             return SparseTensor(grid=out_grid, features=out).mask_features()
         # bounded stride-1 odd-kernel convs take the densify->MXU-conv path
         # (ops.dense_conv) — ~10x the gather-GEMM throughput on TPU
         if out_grid is x.grid and dense_conv_applicable(
                 spec, x.grid, cin, self.out_channels):
             out = dense_conv_apply(x.features, kernel, x.grid, spec, bias,
-                                   compute_dtype=self.dtype)
+                                   compute_dtype=cd)
             return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
-                                compute_dtype=self.dtype)
+                                compute_dtype=cd)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 
@@ -124,7 +126,7 @@ class SparseConvTranspose(nn.Module):
     use_bias: bool = False
     region_type: RegionType = RegionType.HYPER_CUBE
     ndim: int = 3
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None -> ops.conv.default_compute_dtype()
 
     @nn.compact
     def __call__(self, x: SparseTensor, out_grid: SparseGrid) -> SparseTensor:
@@ -133,15 +135,16 @@ class SparseConvTranspose(nn.Module):
                           transpose=True)
         cin = x.num_channels
         kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        cd = self.dtype or default_compute_dtype()
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
         if _oh.enabled(x.grid):
             out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
-                                        spec, bias)
+                                        spec, bias, compute_dtype=cd)
             return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
-                                compute_dtype=self.dtype)
+                                compute_dtype=cd)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 
@@ -157,7 +160,7 @@ class GenerativeConvTranspose(nn.Module):
     dilation: Size = 1
     use_bias: bool = False
     ndim: int = 3
-    dtype: Any = jnp.float32
+    dtype: Any = None  # None -> ops.conv.default_compute_dtype()
 
     @nn.compact
     def __call__(self, x: SparseTensor) -> SparseTensor:
@@ -165,6 +168,7 @@ class GenerativeConvTranspose(nn.Module):
                           ndim=self.ndim, transpose=True)
         cin = x.num_channels
         kernel = self.param("kernel", _kaiming, (spec.volume, cin, self.out_channels))
+        cd = self.dtype or default_compute_dtype()
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
         out_stride = spec.out_stride(x.tensor_stride)
@@ -172,11 +176,11 @@ class GenerativeConvTranspose(nn.Module):
         out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
         if _oh.enabled(x.grid):
             out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
-                                        spec, bias)
+                                        spec, bias, compute_dtype=cd)
             return SparseTensor(grid=out_grid, features=out).mask_features()
         nbr = kernel_map(x.grid, out_grid, spec)
         out = sparse_conv_apply(x.features, kernel, nbr, bias,
-                                compute_dtype=self.dtype)
+                                compute_dtype=cd)
         return SparseTensor(grid=out_grid, features=out).mask_features()
 
 

@@ -18,6 +18,7 @@ from .coords import (
     unique_coords,
 )
 from .conv import gather_rows, linear_apply, sparse_conv_apply
+from .conv import default_compute_dtype, set_default_compute_dtype
 from .dense_conv import dense_conv_applicable, dense_conv_apply, enable_dense_conv
 from .hashtable import HashTable, build_table, lookup, pack_keys
 from .interp import interpolate, interpolation_weights, splat, splat_coordinates
@@ -44,6 +45,6 @@ __all__ = [
     "get_coords_map", "grid_lookup", "kernel_map", "membership",
     "LUT_MAX_ENTRIES", "build_lut", "lut_lookup", "lookup_sorted", "broadcast_batch", "global_pool",
     "local_pool_apply", "prune", "top_k_mask", "coo_spmm", "reduce_by_inverse",
-    "slice_by_inverse", "union",
+    "slice_by_inverse", "union", "default_compute_dtype", "set_default_compute_dtype",
     "fused_sparse_conv", "onehot_sparse_conv", "use_onehot_conv",
 ]

@@ -21,6 +21,29 @@ import jax.numpy as jnp
 # default fused gather-GEMM size cutoff; see `config.set_algorithm`
 DEFAULT_FUSED_THRESHOLD = 1 << 21
 
+# global MXU precision policy: None = auto (bf16 compute with fp32
+# accumulation on accelerator backends — the TPU-native training
+# configuration — fp32 everywhere on CPU, keeping host tests bit-exact)
+_DEFAULT_COMPUTE_DTYPE = None
+
+
+def set_default_compute_dtype(dtype) -> None:
+    """Override the conv-family compute dtype globally (None = auto).
+
+    Read at TRACE time: functions already jit-compiled keep the policy they
+    were traced under — set it before building the train step."""
+    global _DEFAULT_COMPUTE_DTYPE
+    _DEFAULT_COMPUTE_DTYPE = dtype
+
+
+def default_compute_dtype():
+    """Resolve the active compute dtype for conv GEMMs."""
+    if _DEFAULT_COMPUTE_DTYPE is not None:
+        return _DEFAULT_COMPUTE_DTYPE
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
 
 def gather_rows(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """features[idx] with -1 → zero row.  idx [M], features [N, C] → [M, C]."""

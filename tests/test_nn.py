@@ -256,3 +256,49 @@ def test_hybrid_region_offsets():
     assert (1, -1, 0) in s and (0, 0, 1) in s and (0, 0, -1) in s
     assert (1, 1, 1) not in s and (1, 0, 1) not in s
     assert len(s) == 9 + 2
+
+
+def test_backend_differential_suite_cpu():
+    # on a CPU host both sides coincide: every op must be exactly consistent
+    rep = mt.utils.backend_differential_suite(n=256, res=8)
+    assert rep["_all_ok"], rep
+    assert rep["geometry_keys"]["max_err"] == 0.0
+
+
+def test_compute_dtype_policy(rng):
+    # CPU auto policy = fp32 (bit-exact tests); forcing bf16 stays close
+    import mink_octtree_stablediffusion_tpu.ops as mops
+    assert mops.default_compute_dtype() == jnp.float32
+    coords = np.concatenate(
+        [np.zeros((300, 1), np.int32), rng.randint(0, 16, (300, 3))],
+        1).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, 512)
+    st = jax.jit(lambda c, f, v: mt.sparse_tensor(
+        c, f, capacity=512, valid=v, batch_size=1))(
+        jnp.asarray(cpad),
+        jnp.asarray((rng.randn(512, 8) * valid[:, None]).astype(np.float32)),
+        jnp.asarray(valid))
+    conv = mt.nn.SparseConv(16, kernel_size=3)
+    params = jax.jit(conv.init)(jax.random.PRNGKey(0), st)
+    ref = jax.jit(conv.apply)(params, st).features
+    try:
+        mops.set_default_compute_dtype(jnp.bfloat16)
+        assert mops.default_compute_dtype() == jnp.bfloat16
+        out = jax.jit(lambda p, s: conv.apply(p, s).features)(params, st)
+        # bf16 compute, fp32 accumulate: output dtype unchanged, values close
+        assert out.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 3e-2
+        assert not np.array_equal(np.asarray(out), np.asarray(ref))
+    finally:
+        mops.set_default_compute_dtype(None)
+    # per-layer override beats the global policy
+    conv32 = mt.nn.SparseConv(16, kernel_size=3, dtype=jnp.float32)
+    p32 = jax.jit(conv32.init)(jax.random.PRNGKey(0), st)
+    try:
+        mops.set_default_compute_dtype(jnp.bfloat16)
+        out32 = jax.jit(lambda p, s: conv32.apply(p, s).features)(p32, st)
+    finally:
+        mops.set_default_compute_dtype(None)
+    ref32 = jax.jit(conv32.apply)(p32, st).features
+    np.testing.assert_array_equal(np.asarray(out32), np.asarray(ref32))
