@@ -40,14 +40,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--steps", type=int, default=64)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=16)
     args = p.parse_args()
 
     if args.tiny:
         res, cap, vch, uch, group = 32, 4096, (8, 16, 32, 32, 4), \
             (4, 8, 16, 16), 4
     else:
-        res, cap = 128, 65536
+        # capacity scales with batch (16k voxels/sample at res 128) so
+        # per-sample workload is batch-invariant; larger batches amortize
+        # the per-step kernel/dispatch overhead of the tiny latent grids
+        res, cap = 128, 16384 * args.batch
         vch, uch, group = (32, 128, 512, 512, 4), (4, 320, 640, 960), 32
 
     enc_caps = tuple(max(cap // (8 ** i), 64) for i in range(1, 4)) + \
