@@ -230,9 +230,11 @@ class _FusedStatic:
     """Hashable static config for the fused conv primitive (custom_vjp
     nondiff arg)."""
 
-    def __init__(self, offs, s_in, extent, tile, tw, group, cd, interpret):
+    def __init__(self, offs, s_in, extent, tile, tw, group, cd, interpret,
+                 s_out=None):
         self.offs = tuple(map(tuple, offs))  # absolute units, sign applied
         self.s_in = tuple(s_in)
+        self.s_out = tuple(s_out) if s_out is not None else tuple(s_in)
         self.extent = tuple(extent)
         self.tile = tile
         self.tw = tw
@@ -241,8 +243,8 @@ class _FusedStatic:
         self.interpret = interpret
 
     def _key(self):
-        return (self.offs, self.s_in, self.extent, self.tile, self.tw,
-                self.group, jnp.dtype(self.cd).name, self.interpret)
+        return (self.offs, self.s_in, self.s_out, self.extent, self.tile,
+                self.tw, self.group, jnp.dtype(self.cd).name, self.interpret)
 
     def __hash__(self):
         return hash(self._key())
@@ -250,12 +252,14 @@ class _FusedStatic:
     def __eq__(self, other):
         return isinstance(other, _FusedStatic) and self._key() == other._key()
 
-    def flipped(self, s_out):
+    def flipped(self):
         """Static config of the TRANSPOSE direction (for the dF backward):
-        grids swap roles, offsets negate, lattice stride becomes s_out."""
-        return _FusedStatic([[-o for o in off] for off in self.offs], s_out,
-                            self.extent, self.tile, self.tw, self.group,
-                            self.cd, self.interpret)
+        grids swap roles, offsets negate, the queried lattice stride becomes
+        the forward's output stride."""
+        return _FusedStatic([[-o for o in off] for off in self.offs],
+                            self.s_out, self.extent, self.tile, self.tw,
+                            self.group, self.cd, self.interpret,
+                            s_out=self.s_in)
 
 
 def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
@@ -491,10 +495,198 @@ def _fused_fwd(static, features, kernel, in_coords, in_valid, out_coords,
                  out_valid)
 
 
+def _dk_fits(cin: int, cout: int, k_pad: int, tile: int, tw: int) -> bool:
+    """VMEM feasibility of the fused dW kernel (fp32 accumulator block)."""
+    cinp = max(_round_up(cin + 1, 128), 128)
+    coutp = max(_round_up(cout, 128), 128)
+    est = (2 * k_pad * cinp * coutp * 4 + 2 * tw * cinp * 4 +
+           2 * tile * coutp * 4 + 2 * k_pad * tile * 4)
+    return est <= 27 * 2 ** 19
+
+
+def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
+                   out_valid, k_vol: int, cin: int, cout: int):
+    """dW via the forward's one-hot structure, no gather and no scatter:
+    per output tile, ``B_k = onehot_kᵀ · g_tile`` and ``dW_k += windowᵀ ·
+    B_k`` — two MXU matmuls per offset, accumulated in a persistent fp32
+    output block across the row-tile grid (XLA's scatter-add lowering for
+    the same contraction measured ~30x slower on TPU)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .coords import flat_cell_key
+
+    tile, tw, group = static.tile, static.tw, static.group
+    n = features.shape[0]
+    n_out = out_coords.shape[0]
+    cd = static.cd
+    cinp = max(_round_up(cin + 1, 128), 128)
+    key_lane = cinp - 1
+    coutp = max(_round_up(cout, 128), 128)
+    nt = -(-n_out // tile)
+    n_pad = nt * tile
+
+    s_in = np.asarray(static.s_in, np.int64)
+    cells = np.asarray([int(np.ceil(e / s)) for e, s in
+                        zip(static.extent, s_in)], np.int64)
+    flat_strides = np.concatenate(
+        [np.cumprod(cells[::-1])[::-1][1:], [1]]).astype(np.int64)
+    offs_abs = np.asarray(static.offs, np.int64)
+    n_groups = -(-k_vol // group)
+    k_pad = n_groups * group
+
+    qc = (out_coords[:, None, 1:] + jnp.asarray(offs_abs, jnp.int32)[None])
+    sj = jnp.asarray(s_in, jnp.int32)
+    qpos = jnp.floor_divide(qc, sj)
+    aligned = jnp.all(qc - qpos * sj == 0, axis=-1)
+    ok = jnp.all((qpos >= 0) & (qpos < jnp.asarray(cells, jnp.int32)),
+                 axis=-1)
+    ok = ok & aligned & out_valid[:, None]
+    qkey = (out_coords[:, :1] * np.int32(int(np.prod(cells))) +
+            qpos @ jnp.asarray(flat_strides, jnp.int32))
+    qk = jnp.where(ok, qkey, np.int32(-1))
+    qk = jnp.pad(qk, ((0, n_pad - n_out), (0, k_pad - k_vol)),
+                 constant_values=-1)
+    qk_tiles = qk.reshape(nt, tile, k_pad).transpose(0, 2, 1).reshape(
+        nt, 1, k_pad * tile)
+
+    in_keys = flat_cell_key(in_coords, in_valid, static.s_in, static.extent)
+    qvalid = qk_tiles >= 0
+    qmin = jnp.min(jnp.where(qvalid, qk_tiles, np.int32(2 ** 30)),
+                   axis=(1, 2))
+    qmax = jnp.max(jnp.where(qvalid, qk_tiles, np.int32(-1)), axis=(1, 2))
+    any_valid = jnp.any(qvalid, axis=(1, 2))
+    lo = jnp.searchsorted(in_keys, qmin, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(in_keys, qmax, side="right").astype(jnp.int32)
+    lo = jnp.where(any_valid, (lo // 8) * 8, 0)
+    nch = jnp.where(any_valid, (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
+
+    key_f32 = jax.lax.bitcast_convert_type(
+        jnp.minimum(in_keys, np.int32(2 ** 30)), jnp.float32)
+    f_aug = jnp.zeros((n + tw, cinp), jnp.float32)
+    f_aug = f_aug.at[:n, :cin].set(features.astype(jnp.float32))
+    f_aug = f_aug.at[:n, key_lane].set(key_f32)
+    g_pad = jnp.zeros((n_pad, coutp), cd)
+    g_pad = g_pad.at[:n_out, :cout].set(g.astype(cd))
+
+    def kern(lo_ref, nch_ref, qk_ref, f_ref, g_ref, out_ref, fwin2, sem2):
+        t = pl.program_id(0)
+        n_prog = pl.num_programs(0)
+        slot = jax.lax.rem(t, 2)
+
+        def mk_dma(tt, s, c):
+            base = pl.multiple_of(lo_ref[tt], 8) + c * tw
+            return pltpu.make_async_copy(
+                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s])
+
+        @pl.when(t == 0)
+        def _():
+            mk_dma(0, 0, 0).start()
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        mk_dma(t, slot, 0).wait()
+
+        @pl.when(t + 1 < n_prog)
+        def _():
+            mk_dma(t + 1, 1 - slot, 0).start()
+
+        def compute(fw_f32):
+            keys_w = jax.lax.bitcast_convert_type(
+                fw_f32[:, key_lane:key_lane + 1], jnp.int32)  # [TW, 1]
+            fw = fw_f32.astype(cd)
+            gt = g_ref[...]
+            for gi in range(n_groups):
+                sl_q = slice(gi * group * tile, (gi + 1) * group * tile)
+                qg = qk_ref[0, 0:1, sl_q]
+                oht = (keys_w == qg).astype(cd)  # [TW, group*T]
+                for j in range(group):
+                    oht_j = oht[:, j * tile:(j + 1) * tile]  # [TW, T]
+                    b = jax.lax.dot_general(
+                        oht_j, gt, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [TW, CoutP]
+                    dw = jax.lax.dot_general(
+                        fw, b.astype(cd),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [CinP, CoutP]
+                    sl_r = slice((gi * group + j) * cinp,
+                                 (gi * group + j + 1) * cinp)
+                    out_ref[sl_r, :] = out_ref[sl_r, :] + dw
+
+        compute(fwin2[slot])
+
+        def spill(c, _):
+            dma = mk_dma(t, slot, c)
+            dma.start()
+            dma.wait()
+            compute(fwin2[slot])
+            return 0
+
+        jax.lax.fori_loop(1, nch_ref[t], spill, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_pad * tile), lambda t, lo, nch: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile, coutp), lambda t, lo, nch: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_pad * cinp, coutp),
+                               lambda t, lo, nch: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tw, cinp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dw = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (k_pad * cinp, coutp), jnp.float32,
+            vma=_union_vma(features, g, in_coords, out_coords)),
+        interpret=static.interpret,
+    )(lo, nch, qk_tiles, f_aug, g_pad)
+    return dw.reshape(k_pad, cinp, coutp)[:k_vol, :cin, :cout]
+
+
+def _dkernel_gather(features, nbr_idx, g):
+    """dW via row gather + einsum (the classic transpose; fallback when the
+    fused dW kernel's accumulator exceeds VMEM)."""
+    idx_t = nbr_idx.T  # [N_out, K]
+    m = idx_t >= 0
+    safe = jnp.where(m, idx_t, 0)
+    gathered = features[safe] * m[..., None].astype(features.dtype)
+    return jnp.einsum("nkc,no->kco", gathered, g)
+
+
 def _fused_bwd(static, res, g):
     features, kernel, ic, iv, oc, ov = res
-    nbr = _extract_nbr(static, ic, iv, oc, ov)
-    dfeat, dkernel = _xla_backward(features, kernel, nbr, g)
+    k_vol = len(static.offs)
+    cin, cout = kernel.shape[1], kernel.shape[2]
+    k_pad = -(-k_vol // static.group) * static.group
+    nbr = None
+    if select_params(cout, cin, k_pad, static.tile, static.tw,
+                     static.cd) is None:
+        # flipped direction over VMEM budget: gather/scatter transpose
+        nbr = _extract_nbr(static, ic, iv, oc, ov)
+        dfeat, _ = _xla_backward(features, kernel, nbr, g)
+    else:
+        # dF is the TRANSPOSE-direction conv of the cotangent with the
+        # channel-swapped kernel — one more fused pass (grids swap roles,
+        # offsets negate), not a row gather + scatter
+        dfeat = _fused_impl(static.flipped(), g.astype(features.dtype),
+                            jnp.swapaxes(kernel, 1, 2), oc, ov, ic, iv)
+    if _dk_fits(cin, cout, k_pad, static.tile, static.tw):
+        dkernel = _dkernel_fused(static, features, g, ic, iv, oc, ov,
+                                 k_vol, cin, cout)
+    else:
+        if nbr is None:
+            nbr = _extract_nbr(static, ic, iv, oc, ov)
+        dkernel = _dkernel_gather(features, nbr, g)
+    dkernel = dkernel.astype(kernel.dtype)
     f0 = jax.dtypes.float0
     return (dfeat, dkernel, np.zeros(ic.shape, f0), np.zeros(iv.shape, f0),
             np.zeros(oc.shape, f0), np.zeros(ov.shape, f0))
@@ -563,7 +755,8 @@ def fused_sparse_conv(
     static = _FusedStatic(np.asarray(offs, np.int64).tolist(),
                           _tuplize(in_grid.stride, in_grid.ndim),
                           in_grid.extent, tile, tw, group, compute_dtype,
-                          interpret)
+                          interpret,
+                          s_out=_tuplize(out_grid.stride, out_grid.ndim))
     out = _fused_conv(static, features, kernel, in_grid.coords,
                       in_grid.valid, out_grid.coords, out_grid.valid)
     if bias is not None:

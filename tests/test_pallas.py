@@ -83,6 +83,45 @@ def test_fused_onehot_conv_strided_and_transpose(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_onehot_conv_grads_strided_and_transpose(rng):
+    # the backward's flipped-direction pass swaps lattice strides — cover
+    # both a downsampling conv (s_out=2) and a transpose conv (s_in=2)
+    st = _sphere(rng, 200, 256, 4, 12)
+    spec = mt.ops.KernelSpec(3, 2, ndim=3)
+    og = jax.jit(lambda g: mt.ops.stride_grid(g, 2, 256))(st.grid)
+    nbr = jax.jit(lambda gi, go: mt.ops.kernel_map(gi, go, spec))(st.grid, og)
+    kern = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32) * 0.1)
+    gout = jnp.asarray(rng.randn(256, 6).astype(np.float32))
+    dref = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+        st.features, kern)
+    dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, st.grid, og, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout),
+        argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-5)
+
+    spec_t = mt.ops.KernelSpec(2, 2, ndim=3, transpose=True)
+    nbr_t = jax.jit(lambda gi, go: mt.ops.kernel_map(gi, go, spec_t))(
+        og, st.grid)
+    kern_t = jnp.asarray(rng.randn(8, 4, 5).astype(np.float32) * 0.1)
+    gout_t = jnp.asarray(rng.randn(256, 5).astype(np.float32))
+    dref_t = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr_t), gout_t), argnums=(0, 1))(
+        st.features[:256], kern_t)
+    dfus_t = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, og, st.grid, spec_t, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout_t),
+        argnums=(0, 1))(st.features[:256], kern_t)
+    np.testing.assert_allclose(np.asarray(dfus_t[0]), np.asarray(dref_t[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfus_t[1]), np.asarray(dref_t[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_onehot_conv_cout_tiled(rng):
     # narrow cin + very wide cout forces the cout-block grid dimension
     # (weight pair over the VMEM budget) while staying cheap in interpret
