@@ -25,10 +25,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_parallel_mesh(num_devices: Optional[int] = None,
-                       axis_name: str = "data") -> Mesh:
+                       axis_name: str = "data",
+                       devices: Optional[Sequence[Any]] = None) -> Mesh:
     """1-D mesh over all (or the first N) local devices."""
-    devs = jax.devices()
+    devs = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"need {num_devices} devices, have {len(devs)}")
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
 
