@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..tensor import SparseTensor, cat
-from ..nn.blocks import ResNetStack
+from ..nn.blocks import ResNetStack, remat_stack
 from ..nn.conv import SparseConv
 from ..nn.embed import TimestepEmbedding, timesteps_embedding
 
@@ -43,14 +43,19 @@ class UNet(nn.Module):
     # capacity of the grown (pre-pin) grids on the way up
     up_capacity_factor: int = 8
     axis_name: Optional[str] = None
+    # rematerialize each ResNet stack in the backward pass (jax.checkpoint /
+    # flax lifted remat): trades recompute FLOPs for activation HBM — the
+    # standard TPU memory lever for scaling batch or resolution
+    remat: bool = False
 
     def _group(self, out_ch: int, after: Optional[str], num_layers: int,
                with_attn: bool, cap: Optional[int], name: str):
         """A ModuleList-equivalent: `num_layers` ResNet3 stacks, the first
         carrying the geometry change (`diffusion.py:240-247` get_block)."""
         blocks = []
+        stack_cls = remat_stack() if self.remat else ResNetStack
         for i in range(num_layers):
-            blocks.append(ResNetStack(
+            blocks.append(stack_cls(
                 out_ch, layers=3, after=after if i == 0 else None,
                 use_time_emb=True, time_embedding_norm=self.time_embedding_norm,
                 group=self.group, with_attn=with_attn,
@@ -75,8 +80,12 @@ class UNet(nn.Module):
         def run(blocks, h, out_grid=None):
             for i, blk in enumerate(blocks):
                 pin = out_grid if i == len(blocks) - 1 else None
-                h = blk(h, emb=temb, out_grid=pin,
-                        encoder_hidden_state=encoder_hidden_state, train=train)
+                # positional: lifted remat needs static args by position
+                h = blk(h, temb, pin, encoder_hidden_state, train)
+            if out_grid is not None:
+                # lifted remat re-flattens outputs into fresh pytree objects;
+                # rebind the pinned grid so `cat`'s identity contract holds
+                h = SparseTensor(grid=out_grid, features=h.features)
             return h
 
         out_s1 = run(self._group(ch[1], "downsample", 2, self.with_attn,

@@ -26,6 +26,7 @@ from .blocks import (
     SEBasicBlock,
     SELayer,
     _HeadConvNormAct,
+    remat_stack,
 )
 from .conv import (
     ChannelwiseConv,
@@ -58,7 +59,7 @@ __all__ = [
     "Dropout", "Sinusoidal", "apply_fn", "elu", "gelu", "get_act", "relu",
     "sigmoid", "silu", "softmax", "tanh", "MortonWindowTransformer",
     "SparseAttention", "SparseTransformer", "BasicBlock", "ResBasicBlock",
-    "ResBottleneck", "ResNetStack", "SEBasicBlock", "SELayer",
+    "ResBottleneck", "ResNetStack", "SEBasicBlock", "SELayer", "remat_stack",
     "ChannelwiseConv", "GenerativeConvTranspose", "Linear", "SparseConv",
     "SparseConvTranspose", "UpsampleInterpolate", "LinearPositionalEncoding",
     "TimestepEmbedding", "timesteps_embedding", "AdaStableInstanceNorm",

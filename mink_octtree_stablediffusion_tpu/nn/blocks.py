@@ -230,6 +230,16 @@ class ResNetStack(nn.Module):
         return x
 
 
+def remat_stack():
+    """`ResNetStack` with rematerialized backward (flax lifted
+    `jax.checkpoint`): the standard TPU lever trading recompute FLOPs for
+    activation HBM.  Callers MUST pass all five `__call__` arguments
+    positionally — `train` (position 5) is the static argument, and lifted
+    remat resolves static_argnums against the actual positional call.
+    Parameter structure is identical to a plain `ResNetStack`."""
+    return nn.remat(ResNetStack, static_argnums=(5,))
+
+
 # ---------------------------------------------------------------------------
 # Classic ResNet / SENet blocks (`modules/resnet_block.py`, `senet_block.py`)
 # ---------------------------------------------------------------------------

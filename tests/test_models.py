@@ -221,3 +221,23 @@ def test_sample_latent_cfg(rng):
                   uncond_hidden_state=ehs)
     np.testing.assert_allclose(np.asarray(same.F), np.asarray(base.F),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unet_remat_forward(rng):
+    # `remat=True` must compose with the UNet's grid plumbing: lifted remat
+    # re-flattens module outputs into fresh pytrees, so the pinned skip grids
+    # have to be rebound for `cat`'s identity contract.  Parameter structure
+    # is unchanged, the forward matches the plain UNet up to fusion-order
+    # noise.  (Bit-level fwd+grad equivalence of a remat'd stack is covered
+    # at stack scale in test_nn.py — full-UNet grad compiles are the CPU
+    # suite's long pole.)
+    lat = latent_tensor(rng)
+    t0 = jnp.zeros((2,), jnp.int32)
+    unet = mm.UNet(**UNET_KW)
+    unet_r = mm.UNet(**UNET_KW, remat=True)
+    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t0)
+    out = jax.jit(lambda v, x: unet.apply(v, x, t0).features)(variables, lat)
+    out_r = jax.jit(lambda v, x: unet_r.apply(v, x, t0).features)(
+        variables, lat)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), rtol=1e-4,
+                               atol=1e-5)

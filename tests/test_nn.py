@@ -302,3 +302,37 @@ def test_compute_dtype_policy(rng):
         mops.set_default_compute_dtype(None)
     ref32 = jax.jit(conv32.apply)(p32, st).features
     np.testing.assert_array_equal(np.asarray(out32), np.asarray(ref32))
+
+
+def test_resnet_stack_remat_matches(rng):
+    # lifted remat is a pure memory/recompute trade: same param structure,
+    # same forward, same grads (up to backward fusion-order noise)
+    import flax.linen as fnn  # noqa: F401
+
+    st, _, _ = full_grid_tensor(rng, 4, 4, b=2)
+    emb = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+    kw = dict(out_channels=8, layers=3, after="downsample", use_time_emb=True,
+              group=4, with_attn=True, attn_max_len=64, out_capacity=32)
+    m0 = mnn.ResNetStack(**kw)
+    m1 = mnn.remat_stack()(**kw)
+    variables = jax.jit(m0.init, static_argnums=(5,))(
+        jax.random.PRNGKey(0), st, emb, None, None, True)
+    v1 = jax.eval_shape(
+        lambda: m1.init(jax.random.PRNGKey(0), st, emb, None, None, True))
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(variables))
+
+    def run(model):
+        def loss(v, x):
+            f = model.apply(v, x, emb, None, None, True).features
+            return jnp.sum(f ** 2), f
+        return jax.jit(jax.value_and_grad(loss, has_aux=True))(variables, st)
+
+    (l0, f0), g0 = run(m0)
+    (l1, f1), g1 = run(m1)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                                   atol=1e-5)
