@@ -114,3 +114,25 @@ def test_warmup_cosine_schedule():
     assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
     assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
     assert float(sched(5)) == pytest.approx(5e-4, rel=1e-2)
+
+
+def test_bf16_policy_training_loss_decreases(rng):
+    # end-to-end training under the bf16 MXU policy: params stay fp32,
+    # compute runs in bf16 (fp32 accumulation), loss still optimizes
+    from mink_octtree_stablediffusion_tpu import ops as mops
+
+    try:
+        mops.set_default_compute_dtype(jnp.bfloat16)
+        state, loss_fn, batch = make_model_and_state(rng, lr=1e-2)
+        step = mtrain.make_train_step(loss_fn)
+        b = tuple(map(jnp.asarray, batch))
+        losses = []
+        s = state
+        for i in range(6):
+            s, loss, _ = step(s, b, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] * 0.9, losses
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(s.params))
+    finally:
+        mops.set_default_compute_dtype(None)
