@@ -49,6 +49,8 @@ def parse_args():
     p.add_argument("--time_embedding_norm", type=str, default="default",
                    choices=["default", "scale_shift"])
     p.add_argument("--group", type=int, default=32)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet stacks (memory for recompute)")
     p.add_argument("--with_attn", action="store_true", default=True)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=1000)
@@ -94,6 +96,7 @@ def main():
     latent_cap = enc_caps[2]
     unet = mm.UNet(channels=tuple(cfg.unet_channel),
                    with_attn=cfg.with_attn, group=cfg.group,
+                   remat=cfg.remat,
                    time_embedding_norm=cfg.time_embedding_norm,
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),
