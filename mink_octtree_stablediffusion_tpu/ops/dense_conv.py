@@ -93,10 +93,14 @@ def dense_conv_apply(
     ks = spec.kernel_size
     w = kernel.reshape(tuple(ks) + (cin, cout)).astype(cd)
     dn = ("NDHWC", "DHWIO", "NDHWC") if d == 3 else ("NHWC", "HWIO", "NHWC")
+    # no preferred_element_type: a widened output dtype breaks the conv
+    # TRANSPOSE rule under autodiff (f32 cotangent meets a bf16 kernel);
+    # XLA accumulates MXU convs in fp32 internally either way, so keeping
+    # the output in the compute dtype just rounds once — same as the fused
+    # path's final astype
     out_dense = jax.lax.conv_general_dilated(
         dense, w, window_strides=(1,) * d, padding="SAME",
-        rhs_dilation=tuple(spec.dilation), dimension_numbers=dn,
-        preferred_element_type=jnp.float32)
+        rhs_dilation=tuple(spec.dilation), dimension_numbers=dn)
     out_flat = out_dense.reshape(total, cout)
     out = out_flat[jnp.where(ok, flat, 0)] * ok[:, None].astype(out_flat.dtype)
     out = out.astype(features.dtype)

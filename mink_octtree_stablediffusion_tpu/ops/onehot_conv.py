@@ -81,6 +81,22 @@ def _union_vma(*arrays) -> frozenset:
     return vma
 
 
+def _key_layout(cin: int):
+    """(separate, cinp): where the flat key travels in the window DMA.
+
+    When the lane padding has spare room (cin % 128 != 0), the key rides a
+    spare bitcast lane of an fp32 feature window — free.  When cin is a
+    multiple of 128 (the wide reference layers: 128/256/512), an inline key
+    lane would pad every matmul by a whole 128-lane block (512→640: a 25%
+    MXU tax) and force fp32 window DMAs to keep the bitcast exact; instead
+    the keys get their own 128-lane int32 window (lane 0 carries the key —
+    Mosaic crashes on any VMEM memref with lane dim < 128) and the features
+    ride in the compute dtype (≈40%% less window bandwidth in bf16)."""
+    cinp_inline = max(_round_up(cin + 1, 128), 128)
+    cinp_plain = max(_round_up(cin, 128), 128)
+    return cinp_inline > cinp_plain, cinp_plain
+
+
 def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
                   compute_dtype) -> tuple | None:
     """Fit (tile, tw, co_t) into the 16M scoped-VMEM limit, or None.
@@ -89,14 +105,23 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
     twice; wide layers would otherwise OOM at AOT compile (e.g. the full
     [27·768, 640] weight block).  Shrinks, in order: the row tile (gather
     accumulator scratch), the DMA window, then the cout block (lane rule:
-    multiple of 128 or == cout).  Requested values are honored whenever they
-    fit; None means even the smallest legal configuration exceeds the budget
-    (callers fall back to the unfused XLA path)."""
+    multiple of 128 or == cout).  (A/B on the finest octree level showed
+    auto-widening the window LOSES: gather-matmul FLOPs scale with tw,
+    and spill chunks are cheaper than the extra MXU work.)  None means even
+    the smallest legal configuration exceeds the budget (callers fall back
+    to the unfused XLA path)."""
     wbytes = jnp.dtype(compute_dtype).itemsize
-    cinp = max(_round_up(cin + 1, 128), 128)
+    sep, cinp = _key_layout(cin)
+    fwbytes = wbytes if sep else 4  # inline layout DMAs fp32 windows
 
     def est(t, w, c):
-        return (t * k_pad * cinp * wbytes + 2 * w * cinp * 4 +
+        # gcat + feature window + key window (sep only) + weight block
+        # + out block + query block.  Mosaic's scoped-vmem stack accounting
+        # counts scratch buffers TWICE (measured: a 3.5M gcat showed up as
+        # ~7M — a 512-wide layer overflowed by exactly that margin), hence
+        # the 2x on gcat and 4x (2 declared slots x 2) on the windows.
+        return (2 * t * k_pad * cinp * wbytes + 4 * w * cinp * fwbytes +
+                (4 * w * 128 * 4 if sep else 0) +
                 2 * k_pad * cinp * c * wbytes + 2 * t * c * 4 +
                 2 * k_pad * t * 4)
 
@@ -112,6 +137,27 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
                 if est(t, w, c) <= budget:
                     return t, w, c
     return None
+
+
+def _window_arrays(features, in_keys, tw: int, cin: int, cinp: int,
+                   sep: bool, cd):
+    """(f_aug, k_rep): HBM-side arrays for the window DMAs (see
+    `_key_layout`).  Valid keys < 2^30 (flat-key bound); padding clips to
+    exactly 2^30 so it can never equal a query key (and, inline, bitcasts
+    to a finite float — 0·key stays 0 in the gather matmul)."""
+    n = features.shape[0]
+    keys = jnp.minimum(in_keys, np.int32(2 ** 30))
+    if sep:
+        f_aug = jnp.pad(features.astype(cd), ((0, tw), (0, cinp - cin)))
+        k_rep = jnp.pad(jnp.pad(keys[:, None], ((0, tw), (0, 0)),
+                                constant_values=np.int32(2 ** 30)),
+                        ((0, 0), (0, 127)))
+        return f_aug, k_rep
+    f_aug = jnp.zeros((n + tw, cinp), jnp.float32)
+    f_aug = f_aug.at[:n, :cin].set(features.astype(jnp.float32))
+    f_aug = f_aug.at[:n, cinp - 1].set(
+        jax.lax.bitcast_convert_type(keys, jnp.float32))
+    return f_aug, None
 
 
 def _window_params(idx_t: jnp.ndarray, tile: int, tw: int):
@@ -275,9 +321,7 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     k_vol, cout = kernel.shape[0], kernel.shape[2]
     n_out = out_coords.shape[0]
     cd = static.cd
-    # one extra lane carries the bitcast key; pad lanes to the 128 width
-    cinp = max(_round_up(cin + 1, 128), 128)
-    key_lane = cinp - 1
+    sep, cinp = _key_layout(cin)
     k_pad_0 = -(-k_vol // group) * group
     params = select_params(cin, cout, k_pad_0, tile, tw, cd)
     assert params is not None, (
@@ -334,15 +378,7 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     nch = jnp.where(any_valid,
                     (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
 
-    # --- feature array with the key riding in a spare bitcast lane ---
-    # valid keys < 2^30 (flat-key bound); padding keys clip to exactly 2^30
-    # so every stored bit pattern is a finite float (never NaN: 0 * key_lane
-    # stays 0 in the gather matmul) and can never equal a query key.
-    key_f32 = jax.lax.bitcast_convert_type(
-        jnp.minimum(in_keys, np.int32(2 ** 30)), jnp.float32)
-    f_aug = jnp.zeros((n + tw, cinp), jnp.float32)
-    f_aug = f_aug.at[:n, :cin].set(features.astype(jnp.float32))
-    f_aug = f_aug.at[:n, key_lane].set(key_f32)
+    f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd)
     # cout tiling (co_t chosen above): the cout grid dim is inner, so the
     # gather accumulator `gcat` is computed once per row tile and reused
     # across weight tiles
@@ -352,8 +388,8 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
                       ((0, k_pad - k_vol), (0, cinp - cin),
                        (0, cout_pad - cout))).reshape(k_pad * cinp, cout_pad)
 
-    def kern(lo_ref, nch_ref, qk_ref, f_ref, w_ref, out_ref, fwin2, gcat,
-             sem2):
+    def body(lo_ref, nch_ref, qk_ref, f_ref, k_ref, w_ref, out_ref, fwin2,
+             kwin2, gcat, sem2):
         t = pl.program_id(0)
         co = pl.program_id(1)
         n_prog = pl.num_programs(0)
@@ -361,13 +397,34 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
 
         def mk_dma(tt, s, c):
             base = pl.multiple_of(lo_ref[tt], 8) + c * tw
-            return pltpu.make_async_copy(
-                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s])
+            if sep:
+                return (pltpu.make_async_copy(
+                    f_ref.at[pl.ds(base, tw), :], fwin2.at[s],
+                    sem2.at[s, 0]),
+                    pltpu.make_async_copy(
+                    k_ref.at[pl.ds(base, tw), :], kwin2.at[s],
+                    sem2.at[s, 1]))
+            return (pltpu.make_async_copy(
+                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s]),)
 
-        def compute(fw_f32, first: bool):
-            keys_w = jax.lax.bitcast_convert_type(
-                fw_f32[:, key_lane:key_lane + 1], jnp.int32)  # [TW, 1]
-            fw = fw_f32.astype(cd)
+        def start(tt, s, c):
+            for d in mk_dma(tt, s, c):
+                d.start()
+
+        def wait(tt, s, c):
+            for d in mk_dma(tt, s, c):
+                d.wait()
+
+        def window(s):
+            """(fw [TW, CinP] compute dtype, keys_w [TW, 1] int32)."""
+            if sep:
+                return fwin2[s], kwin2[s][:, 0:1]
+            fw_f32 = fwin2[s]
+            return fw_f32.astype(cd), jax.lax.bitcast_convert_type(
+                fw_f32[:, cinp - 1:cinp], jnp.int32)
+
+        def compute(s, first: bool):
+            fw, keys_w = window(s)
             for g in range(n_groups):
                 sl_q = slice(g * group * tile, (g + 1) * group * tile)
                 qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
@@ -390,22 +447,21 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
         def _():
             @pl.when(t == 0)
             def _():
-                mk_dma(0, 0, 0).start()
+                start(0, 0, 0)
 
-            mk_dma(t, slot, 0).wait()
+            wait(t, slot, 0)
 
             @pl.when(t + 1 < n_prog)
             def _():
-                mk_dma(t + 1, 1 - slot, 0).start()
+                start(t + 1, 1 - slot, 0)
 
-            compute(fwin2[slot], first=True)
+            compute(slot, first=True)
 
             def spill(c, _):
                 # rare wide-window chunks: serial DMA into this tile's slot
-                dma = mk_dma(t, slot, c)
-                dma.start()
-                dma.wait()
-                compute(fwin2[slot], first=False)
+                start(t, slot, c)
+                wait(t, slot, c)
+                compute(slot, first=False)
                 return 0
 
             jax.lax.fori_loop(1, nch_ref[t], spill, 0)
@@ -423,6 +479,21 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
+    if sep:
+        def kern(lo_r, nch_r, qk_r, f_r, k_r, w_r, out_r, fw2, kw2, gc, sm):
+            body(lo_r, nch_r, qk_r, f_r, k_r, w_r, out_r, fw2, kw2, gc, sm)
+
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]  # keys stay in HBM
+        extra_scratch = [pltpu.VMEM((2, tw, 128), jnp.int32)]
+        fwin_dtype, sem_shape, arrays = cd, (2, 2), (f_aug, k_rep)
+    else:
+        def kern(lo_r, nch_r, qk_r, f_r, w_r, out_r, fw2, gc, sm):
+            body(lo_r, nch_r, qk_r, f_r, None, w_r, out_r, fw2, None, gc, sm)
+
+        extra_in = []
+        extra_scratch = []
+        fwin_dtype, sem_shape, arrays = jnp.float32, (2,), (f_aug,)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nt, nco),
@@ -430,16 +501,18 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
             pl.BlockSpec((1, 1, k_pad * tile),
                          lambda t, co, lo, nch: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # features+keys stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # features stay in HBM
+            *extra_in,
             pl.BlockSpec((k_pad * cinp, co_t), lambda t, co, lo, nch: (0, co),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, co_t), lambda t, co, lo, nch: (t, co),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tw, cinp), jnp.float32),
+            pltpu.VMEM((2, tw, cinp), fwin_dtype),
+            *extra_scratch,
             pltpu.VMEM((tile, k_pad * cinp), cd),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(sem_shape),
         ],
     )
     out = pl.pallas_call(
@@ -449,7 +522,7 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
             (n_pad, cout_pad), features.dtype,
             vma=_union_vma(features, kernel, in_coords, out_coords)),
         interpret=static.interpret,
-    )(lo, nch, qk_tiles, f_aug, w_stack)
+    )(lo, nch, qk_tiles, *arrays, w_stack)
     return out[:n_out, :cout]
 
 
@@ -495,13 +568,45 @@ def _fused_fwd(static, features, kernel, in_coords, in_valid, out_coords,
                  out_valid)
 
 
-def _dk_fits(cin: int, cout: int, k_pad: int, tile: int, tw: int) -> bool:
-    """VMEM feasibility of the fused dW kernel (fp32 accumulator block)."""
-    cinp = max(_round_up(cin + 1, 128), 128)
-    coutp = max(_round_up(cout, 128), 128)
-    est = (2 * k_pad * cinp * coutp * 4 + 2 * tw * cinp * 4 +
-           2 * tile * coutp * 4 + 2 * k_pad * tile * 4)
-    return est <= 27 * 2 ** 19
+def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
+               tw: int):
+    """Blocking of the fused dW kernel: the fp32 accumulator is tiled over a
+    (k-group, cout) grid so it fits scoped VMEM at ANY layer width (wide
+    layers previously fell back to the XLA gather transpose — the measured
+    hot spot of the VAE train step's backward).  Returns
+    (tile, tw, co_t, gpp) or None, where gpp = k-groups per accumulator
+    pass: the window DMA re-runs once per (pass, cout-tile), so narrow
+    layers whose full accumulator fits keep the single-pass schedule and
+    only wide layers pay extra passes."""
+    sep, cinp = _key_layout(cin)
+    cout_pad = max(_round_up(cout, 128), 128)
+    n_groups = -(-k_pad // group)
+
+    def est(t, w, c, gp):
+        # accumulator pair + windows (scratch counts twice — see
+        # select_params) + g block pair + query block pair
+        fwb = 4 if not sep else 4  # fp32 inline window / cd<=4 sep window
+        return (2 * gp * group * cinp * c * 4 + 4 * w * cinp * fwb +
+                (4 * w * 128 * 4 if sep else 0) +
+                2 * t * c * 4 + 2 * k_pad * t * 4)
+
+    budget = 27 * 2 ** 19
+    # group*tile is the qk lane-block width — must stay 128-aligned
+    tiles = [t for t in (tile, tile // 2)
+             if t >= 32 and (group * t) % 128 == 0] or [128]
+    tws = [w for w in (tw, tw // 2) if w >= 128] or [128]
+    cos = [c for c in (cout_pad, 512, 384, 256, 128)
+           if c == cout_pad or (c < cout_pad and c % 128 == 0)]
+    # fewest window passes first: maximize gpp, then co_t, then row tile
+    gpps = [g for g in (n_groups, n_groups // 2, 2, 1)
+            if 1 <= g <= n_groups and n_groups % g == 0]
+    for gp in sorted(set(gpps), reverse=True):
+        for t in tiles:
+            for w in tws:
+                for c in cos:
+                    if est(t, w, c, gp) <= budget:
+                        return t, w, c, gp
+    return None
 
 
 def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
@@ -509,20 +614,28 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     """dW via the forward's one-hot structure, no gather and no scatter:
     per output tile, ``B_k = onehot_kᵀ · g_tile`` and ``dW_k += windowᵀ ·
     B_k`` — two MXU matmuls per offset, accumulated in a persistent fp32
-    output block across the row-tile grid (XLA's scatter-add lowering for
-    the same contraction measured ~30x slower on TPU)."""
+    output block (XLA's scatter-add lowering for the same contraction
+    measured ~30x slower on TPU).  The accumulator is blocked over a
+    (k-group, cout-tile) grid with the row tile innermost, so it fits scoped
+    VMEM at any (Cin, Cout); the window DMA re-runs per (kg, co) pass —
+    bandwidth traded for staying on the MXU."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .coords import flat_cell_key
 
-    tile, tw, group = static.tile, static.tw, static.group
+    group = static.group
     n = features.shape[0]
     n_out = out_coords.shape[0]
     cd = static.cd
-    cinp = max(_round_up(cin + 1, 128), 128)
-    key_lane = cinp - 1
+    sep, cinp = _key_layout(cin)
     coutp = max(_round_up(cout, 128), 128)
+    k_pad0 = -(-k_vol // group) * group
+    params = _dk_params(cin, cout, k_pad0, group, static.tile, static.tw)
+    assert params is not None, "dW blocking infeasible — caller gates this"
+    tile, tw, co_t, gpp = params
+    nco = coutp // co_t if coutp % co_t == 0 else -(-coutp // co_t)
+    cout_pad = nco * co_t
     nt = -(-n_out // tile)
     n_pad = nt * tile
 
@@ -547,6 +660,9 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     qk = jnp.where(ok, qkey, np.int32(-1))
     qk = jnp.pad(qk, ((0, n_pad - n_out), (0, k_pad - k_vol)),
                  constant_values=-1)
+    # [nt, 1, K_pad*T] with k-groups contiguous in the lane dim, so the
+    # (1, 1, group*T) block at lane-index kg selects one k-group (Mosaic
+    # block rule: trailing dims divisible by (8, 128) or equal to the array)
     qk_tiles = qk.reshape(nt, tile, k_pad).transpose(0, 2, 1).reshape(
         nt, 1, k_pad * tile)
 
@@ -561,95 +677,131 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     lo = jnp.where(any_valid, (lo // 8) * 8, 0)
     nch = jnp.where(any_valid, (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
 
-    key_f32 = jax.lax.bitcast_convert_type(
-        jnp.minimum(in_keys, np.int32(2 ** 30)), jnp.float32)
-    f_aug = jnp.zeros((n + tw, cinp), jnp.float32)
-    f_aug = f_aug.at[:n, :cin].set(features.astype(jnp.float32))
-    f_aug = f_aug.at[:n, key_lane].set(key_f32)
-    g_pad = jnp.zeros((n_pad, coutp), cd)
+    f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd)
+    g_pad = jnp.zeros((n_pad, cout_pad), cd)
     g_pad = g_pad.at[:n_out, :cout].set(g.astype(cd))
 
-    def kern(lo_ref, nch_ref, qk_ref, f_ref, g_ref, out_ref, fwin2, sem2):
-        t = pl.program_id(0)
-        n_prog = pl.num_programs(0)
+    def body(lo_ref, nch_ref, qk_ref, f_ref, k_ref, g_ref, out_ref, fwin2,
+             kwin2, sem2):
+        # grid (kg, co, t), t innermost: the (kg, co) accumulator block is
+        # revisited across consecutive t steps; the window DMA re-runs per
+        # pass (identical content — bandwidth traded for a VMEM-sized
+        # accumulator)
+        t = pl.program_id(2)
+        n_prog = pl.num_programs(2)
         slot = jax.lax.rem(t, 2)
 
         def mk_dma(tt, s, c):
             base = pl.multiple_of(lo_ref[tt], 8) + c * tw
-            return pltpu.make_async_copy(
-                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s])
+            if sep:
+                return (pltpu.make_async_copy(
+                    f_ref.at[pl.ds(base, tw), :], fwin2.at[s],
+                    sem2.at[s, 0]),
+                    pltpu.make_async_copy(
+                    k_ref.at[pl.ds(base, tw), :], kwin2.at[s],
+                    sem2.at[s, 1]))
+            return (pltpu.make_async_copy(
+                f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s]),)
+
+        def start(tt, s, c):
+            for d in mk_dma(tt, s, c):
+                d.start()
+
+        def wait(tt, s, c):
+            for d in mk_dma(tt, s, c):
+                d.wait()
+
+        def window(s):
+            if sep:
+                return fwin2[s], kwin2[s][:, 0:1]
+            fw_f32 = fwin2[s]
+            return fw_f32.astype(cd), jax.lax.bitcast_convert_type(
+                fw_f32[:, cinp - 1:cinp], jnp.int32)
 
         @pl.when(t == 0)
         def _():
-            mk_dma(0, 0, 0).start()
+            start(0, 0, 0)
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        mk_dma(t, slot, 0).wait()
+        wait(t, slot, 0)
 
         @pl.when(t + 1 < n_prog)
         def _():
-            mk_dma(t + 1, 1 - slot, 0).start()
+            start(t + 1, 1 - slot, 0)
 
-        def compute(fw_f32):
-            keys_w = jax.lax.bitcast_convert_type(
-                fw_f32[:, key_lane:key_lane + 1], jnp.int32)  # [TW, 1]
-            fw = fw_f32.astype(cd)
-            gt = g_ref[...]
-            for gi in range(n_groups):
-                sl_q = slice(gi * group * tile, (gi + 1) * group * tile)
-                qg = qk_ref[0, 0:1, sl_q]
-                oht = (keys_w == qg).astype(cd)  # [TW, group*T]
-                for j in range(group):
-                    oht_j = oht[:, j * tile:(j + 1) * tile]  # [TW, T]
-                    b = jax.lax.dot_general(
-                        oht_j, gt, dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [TW, CoutP]
-                    dw = jax.lax.dot_general(
-                        fw, b.astype(cd),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [CinP, CoutP]
-                    sl_r = slice((gi * group + j) * cinp,
-                                 (gi * group + j + 1) * cinp)
-                    out_ref[sl_r, :] = out_ref[sl_r, :] + dw
+        def compute(s):
+            fw, keys_w = window(s)
+            gt = g_ref[...]  # [T, co_t]
+            qg = qk_ref[0, 0:1, :]  # this pass's queries [1, gpp*group*T]
+            oht = (keys_w == qg).astype(cd)  # [TW, gpp*group*T]
+            for j in range(gpp * group):
+                oht_j = oht[:, j * tile:(j + 1) * tile]  # [TW, T]
+                b = jax.lax.dot_general(
+                    oht_j, gt, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [TW, co_t]
+                dw = jax.lax.dot_general(
+                    fw, b.astype(cd),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [CinP, co_t]
+                sl_r = slice(j * cinp, (j + 1) * cinp)
+                out_ref[sl_r, :] = out_ref[sl_r, :] + dw
 
-        compute(fwin2[slot])
+        compute(slot)
 
         def spill(c, _):
-            dma = mk_dma(t, slot, c)
-            dma.start()
-            dma.wait()
-            compute(fwin2[slot])
+            start(t, slot, c)
+            wait(t, slot, c)
+            compute(slot)
             return 0
 
         jax.lax.fori_loop(1, nch_ref[t], spill, 0)
 
+    if sep:
+        def kern(lo_r, nch_r, qk_r, f_r, k_r, g_r, out_r, fw2, kw2, sm):
+            body(lo_r, nch_r, qk_r, f_r, k_r, g_r, out_r, fw2, kw2, sm)
+
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_scratch = [pltpu.VMEM((2, tw, 128), jnp.int32)]
+        fwin_dtype, sem_shape, arrays = cd, (2, 2), (f_aug, k_rep)
+    else:
+        def kern(lo_r, nch_r, qk_r, f_r, g_r, out_r, fw2, sm):
+            body(lo_r, nch_r, qk_r, f_r, None, g_r, out_r, fw2, None, sm)
+
+        extra_in = []
+        extra_scratch = []
+        fwin_dtype, sem_shape, arrays = jnp.float32, (2,), (f_aug,)
+
+    n_passes = n_groups // gpp
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nt,),
+        grid=(n_passes, nco, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, k_pad * tile), lambda t, lo, nch: (t, 0, 0),
+            pl.BlockSpec((1, 1, gpp * group * tile),
+                         lambda kg, co, t, lo, nch: (t, 0, kg),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tile, coutp), lambda t, lo, nch: (t, 0),
+            *extra_in,
+            pl.BlockSpec((tile, co_t), lambda kg, co, t, lo, nch: (t, co),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_pad * cinp, coutp),
-                               lambda t, lo, nch: (0, 0),
+        out_specs=pl.BlockSpec((gpp * group * cinp, co_t),
+                               lambda kg, co, t, lo, nch: (kg, co),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tw, cinp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, tw, cinp), fwin_dtype),
+            *extra_scratch,
+            pltpu.SemaphoreType.DMA(sem_shape),
         ],
     )
     dw = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (k_pad * cinp, coutp), jnp.float32,
+            (k_pad * cinp, cout_pad), jnp.float32,
             vma=_union_vma(features, g, in_coords, out_coords)),
         interpret=static.interpret,
-    )(lo, nch, qk_tiles, f_aug, g_pad)
-    return dw.reshape(k_pad, cinp, coutp)[:k_vol, :cin, :cout]
+    )(lo, nch, qk_tiles, *arrays, g_pad)
+    return dw.reshape(k_pad, cinp, cout_pad)[:k_vol, :cin, :cout]
 
 
 def _dkernel_gather(features, nbr_idx, g):
@@ -679,7 +831,8 @@ def _fused_bwd(static, res, g):
         # offsets negate), not a row gather + scatter
         dfeat = _fused_impl(static.flipped(), g.astype(features.dtype),
                             jnp.swapaxes(kernel, 1, 2), oc, ov, ic, iv)
-    if _dk_fits(cin, cout, k_pad, static.tile, static.tw):
+    if _dk_params(cin, cout, k_pad, static.group, static.tile,
+                  static.tw) is not None:
         dkernel = _dkernel_fused(static, features, g, ic, iv, oc, ov,
                                  k_vol, cin, cout)
     else:
@@ -704,7 +857,7 @@ def fused_sparse_conv(
     bias: jnp.ndarray | None = None,
     tile: int = 128,
     tw: int = 256,
-    group: int = 9,
+    group: int | None = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -715,8 +868,11 @@ def fused_sparse_conv(
     is built by comparing each output row's precomputed query key (the flat
     key of ``out_coord + delta_k``, with lattice-alignment and bounds masks,
     so plain, strided, transposed and generative convs all work) against the
-    input window's keys, which travel inside a spare bitcast feature lane of
-    the same window DMA.  No ``int32[K, N_out]`` kernel map is ever
+    input window's keys, which travel either in a spare bitcast lane of the
+    feature window (when Cin's lane padding has room) or in their own
+    128-lane int32 window (Cin a multiple of 128 — avoids the 512→640
+    key-lane MXU tax and lets features ride in the compute dtype; see
+    `_key_layout`).  No ``int32[K, N_out]`` kernel map is ever
     materialized in the forward; the LUT/search machinery
     (`ops.neighbors.grid_lookup`) is bypassed entirely.
 
@@ -737,6 +893,11 @@ def fused_sparse_conv(
     gather/scatter transpose.
     """
     assert in_grid.extent is not None, "fused conv requires a bounded grid"
+    if group is None:
+        # offsets are processed `group` at a time; padding k_vol up to a
+        # multiple wastes gather-matmul columns, so pick the group that
+        # divides k_vol when it is small (k2 transposes: 8, k3: 27 -> 9)
+        group = spec.volume if spec.volume <= 12 else 9
     k_pad = -(-spec.volume // group) * group
     if select_params(features.shape[1], kernel.shape[2], k_pad, tile, tw,
                      compute_dtype) is None:

@@ -73,40 +73,43 @@ def main():
         return mt.sparse_tensor(coords, jnp.ones((cap, 1)), capacity=cap,
                                 batch_size=b, valid=valid, extent=(res,) * 3)
 
-    def stage_geom(coords, valid, i):
+    # variables travel as jit ARGUMENTS — closing over them would bake
+    # 70M-param constants into the HLO and blow the remote-compile request
+    # limit (same lesson as the frozen-VAE fix in diffusion/module.py)
+    def stage_geom(v, coords, valid, i):
         s = build(coords, valid)
         return jnp.sum(s.grid.coords) * 1e-12
 
-    def stage_encoder(coords, valid, i):
+    def stage_encoder(v, coords, valid, i):
         s = build(coords, valid)
-        mean, log_var = vae.apply(variables, s, method=vae.encode)
+        mean, log_var = vae.apply(v, s, method=vae.encode)
         return jnp.sum(mean.features) + jnp.sum(log_var.features)
 
-    def loss_of(p, coords, valid, i):
+    def loss_of(p, bs, coords, valid, i):
         s = build(coords, valid)
         rng_ = jax.random.fold_in(jax.random.PRNGKey(2), i)
         (out_clss, targets, _, mean, log_var, _), _ = vae.apply(
-            {"params": p, "batch_stats": variables["batch_stats"]},
+            {"params": p, "batch_stats": bs},
             s, s.grid, rng_, mutable=["batch_stats"])
         return mm.vae_loss(out_clss, targets, mean, log_var)[0]
 
-    def stage_forward(coords, valid, i):
-        return loss_of(variables["params"], coords, valid, i)
+    def stage_forward(v, coords, valid, i):
+        return loss_of(v["params"], v["batch_stats"], coords, valid, i)
 
-    def stage_backward(coords, valid, i):
+    def stage_backward(v, coords, valid, i):
         loss, grads = jax.value_and_grad(loss_of)(
-            variables["params"], coords, valid, i)
+            v["params"], v["batch_stats"], coords, valid, i)
         return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads)) * 1e-12
 
     def timed(stage_fn, steps):
         @jax.jit
-        def chain(coords_s, valid_s):
+        def chain(v, coords_s, valid_s):
             def body(acc, xs):
                 coords, valid, i = xs
                 # loop-carried dependence: shift coords by a data-dependent
                 # zero so steps cannot be reordered/memoized
                 coords = coords + (acc.astype(jnp.int32) & 0)
-                return acc + stage_fn(coords, valid, i), None
+                return acc + stage_fn(v, coords, valid, i), None
             acc, _ = jax.lax.scan(
                 body, jnp.float32(0.0),
                 (coords_s, valid_s, jnp.arange(coords_s.shape[0])))
@@ -114,11 +117,11 @@ def main():
 
         cs, vs = make_batch(np.random.RandomState(steps), steps, b, cap,
                             res, pts)
-        float(chain(cs, vs))
+        float(chain(variables, cs, vs))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(chain(cs, vs))
+            float(chain(variables, cs, vs))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -175,3 +175,62 @@ def test_pallas_conv_matches_xla(rng):
                              interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_fused_separate_key_window(rng):
+    # cin a multiple of 128 routes keys into their own 128-lane window
+    # (inline key lane would cost a whole extra lane block on the MXU);
+    # fwd + both grads must match the XLA path
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+
+    cin, cout = 128, 64
+    assert oh._key_layout(cin) == (True, 128)
+    assert oh._key_layout(3) == (False, 128)
+    assert oh._key_layout(512) == (True, 512)
+    st = _sphere(rng, 200, 256, cin, 12)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    gout = jnp.asarray(rng.randn(256, cout).astype(np.float32))
+
+    def ref_loss(f, k):
+        return jnp.vdot(mt.ops.sparse_conv_apply(f, k, nbr), gout)
+
+    def fus_loss(f, k):
+        return jnp.vdot(mt.ops.fused_sparse_conv(
+            f, k, st.grid, st.grid, spec, tile=128, tw=128,
+            compute_dtype=jnp.float32, interpret=True), gout)
+
+    ref = jax.value_and_grad(ref_loss, argnums=(0, 1))(st.features, kern)
+    fus = jax.value_and_grad(fus_loss, argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(float(fus[0]), float(ref[0]), rtol=1e-4)
+    for a, b in zip(fus[1], ref[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dw_wide_cout_tiling(rng):
+    # Cout wide enough that the dW accumulator is blocked over a
+    # (k-group, cout-tile) grid (nco > 1) — the path that lets wide layers
+    # stay fused instead of falling back to the XLA gather transpose
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+
+    cin, cout = 4, 2048
+    p = oh._dk_params(cin, cout, 27, 9, 128, 128)
+    assert p is not None and p[2] < 2048, p  # co_t tiled
+    st = _sphere(rng, 200, 256, cin, 12)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    gout = jnp.asarray(rng.randn(256, cout).astype(np.float32))
+    dref = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+        st.features, kern)
+    dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout),
+        argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-5)
