@@ -9,19 +9,26 @@ shifts the flat key by a constant, so ``nbr_idx[k, :]`` is **monotonically
 increasing over its valid entries**, and all K neighborhoods of a T-row
 output tile live in one narrow contiguous input window.
 
-Per output tile:
-  1. ONE DMA of the union window ``f[lo : lo+TW]`` HBM→VMEM (contiguous,
-     shared by all K offsets; channels padded to the 128 lane width);
-  2. for each offset k: ``G_k = onehot_k @ window`` — the gather, executed
-     as a (T, TW)x(TW, Cin) MXU matmul with
-     ``onehot_k[i, j] = (idx_k[i] - lo == j)``;
+Per output tile, offsets are processed in delta-sorted BANDS (``group``
+offsets sharing the leading-axis displacement, whose flat-key deltas span
+~2·S_y instead of the kernel's ~2·S_x — see `_offset_perm`), each band with
+its own narrow window:
+  1. per band g: ONE DMA of that band's window ``f[lo[t,g] : lo[t,g]+TW]``
+     HBM→VMEM (contiguous; channels padded to the 128 lane width);
+  2. ``G_k = onehot_k @ window_g`` for the band's offsets — the gather,
+     executed as a (T, TW)x(TW, Cin) MXU matmul with
+     ``onehot_k[i, j] = (key_window[j] == query_key_k[i])``;
   3. ``out = [G_0 | ... | G_{K-1}] @ W_stack`` — one (T, K*Cin)x(K*Cin,
      Cout) MXU matmul (same contraction as the fused XLA path).
 
-Windows wider than TW (rare: only where occupancy jumps sharply inside a
-tile) are handled exactly by looping chunks of TW — never a fallback, never
-an approximation.  Monotonicity is a *performance* property only; the
-kernel is correct for arbitrary index distributions.
+Per-band windows are the speed lever: a union window over all K offsets
+spans the whole kernel extent in flat-key space (~17 chunk loops per tile
+on the finest octree level), while each band spans barely more than the
+tile itself — the gather-matmul FLOPs and window bandwidth drop by the
+ratio.  Windows wider than TW (rare: only where occupancy jumps sharply
+inside a tile) are handled exactly by looping chunks of TW — never a
+fallback, never an approximation.  Banding/monotonicity is a *performance*
+property only; the kernel is correct for arbitrary index distributions.
 
 Compute runs in bf16 with fp32 accumulation by default (the one-hot values
 and the gathered copies are exact in bf16; only the feature rounding f32→
@@ -158,6 +165,47 @@ def _window_arrays(features, in_keys, tw: int, cin: int, cinp: int,
     f_aug = f_aug.at[:n, cinp - 1].set(
         jax.lax.bitcast_convert_type(keys, jnp.float32))
     return f_aug, None
+
+
+def _offset_perm(offs_abs: np.ndarray, s_in: np.ndarray,
+                 flat_strides: np.ndarray) -> np.ndarray:
+    """Permutation sorting kernel offsets by their flat-key delta.
+
+    A fixed offset shifts every query key by ``(off // stride) ·
+    flat_strides`` (the same floor-division the query computation applies),
+    so offsets sorted by that delta cluster into bands: consecutive
+    ``group``-size bands span a key range of roughly the band's delta spread
+    instead of the whole kernel's (for a k=3 cube: 2·S_y instead of 2·S_x —
+    a ~Sx/Sy times narrower window).  x-major HYPER_CUBE offsets are already
+    sorted; negated (transpose) offsets are reversed, hybrid/custom
+    arbitrary — sorting makes banding hold for all of them."""
+    deltas = (offs_abs // s_in[None, :]) @ flat_strides
+    return np.argsort(deltas, kind="stable")
+
+
+def _group_bounds(qk: jnp.ndarray, nt: int, tile: int, n_groups: int,
+                  group: int, in_keys: jnp.ndarray, tw: int):
+    """Per-(row tile, offset group) window bounds over the sorted keys.
+
+    Returns (lo, nch) int32 FLAT [nt * n_groups] (index ``t*n_groups + g``):
+    2D scalar-prefetch operands are lane-padded to 128 in SMEM (a [nt, G]
+    i32 bills nt*128*4 bytes — the finest level blew the 1M SMEM budget by
+    exactly that), 1D ones are packed.  Groups with no valid query get
+    (0, 1): one garbage chunk whose queries are all -1 and can never match a
+    window key (keys are clipped to [0, 2^30]), so the gather computes exact
+    zeros without a separate empty path."""
+    qg = qk.reshape(nt, tile, n_groups, group)
+    qv = qg >= 0
+    qmin = jnp.min(jnp.where(qv, qg, np.int32(2 ** 30)), axis=(1, 3))
+    qmax = jnp.max(jnp.where(qv, qg, np.int32(-1)), axis=(1, 3))
+    anyv = jnp.any(qv, axis=(1, 3)).reshape(-1)
+    lo = jnp.searchsorted(in_keys, qmin.reshape(-1), side="left")
+    hi = jnp.searchsorted(in_keys, qmax.reshape(-1), side="right")
+    lo = jnp.where(anyv, (lo.astype(jnp.int32) // 8) * 8, 0)
+    nch = jnp.where(anyv,
+                    (jnp.maximum(hi.astype(jnp.int32) - lo, 1) - 1) // tw + 1,
+                    1)
+    return lo.astype(jnp.int32), nch.astype(jnp.int32)
 
 
 def _window_params(idx_t: jnp.ndarray, tile: int, tw: int):
@@ -341,6 +389,11 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     assert k_vol == offs_abs.shape[0]
     n_groups = -(-k_vol // group)
     k_pad = n_groups * group
+    # per-group windows: sort offsets into narrow flat-key-delta bands (the
+    # kernel and the dW output are permuted consistently, so semantics are
+    # order-independent)
+    perm = _offset_perm(offs_abs, s_in, flat_strides)
+    offs_abs = offs_abs[perm]
 
     # --- query keys per (out row, offset), -1 = out of bounds/invalid ---
     # General form: query coordinate = out_coord + delta must (a) lie ON the
@@ -364,19 +417,10 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     qk_tiles = qk.reshape(nt, tile, k_pad).transpose(0, 2, 1).reshape(
         nt, 1, k_pad * tile)
 
-    # --- per-tile window bounds via searchsorted over the sorted keys ---
+    # --- per-(tile, group) window bounds over the sorted keys ---
     in_keys = flat_cell_key(in_coords, in_valid, static.s_in,
                             static.extent)  # sorted; INT32_MAX padding
-    qvalid = qk_tiles >= 0
-    qmin = jnp.min(jnp.where(qvalid, qk_tiles, np.int32(2 ** 30)),
-                   axis=(1, 2))
-    qmax = jnp.max(jnp.where(qvalid, qk_tiles, np.int32(-1)), axis=(1, 2))
-    any_valid = jnp.any(qvalid, axis=(1, 2))
-    lo = jnp.searchsorted(in_keys, qmin, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(in_keys, qmax, side="right").astype(jnp.int32)
-    lo = jnp.where(any_valid, (lo // 8) * 8, 0)
-    nch = jnp.where(any_valid,
-                    (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
+    lo, nch = _group_bounds(qk, nt, tile, n_groups, group, in_keys, tw)
 
     f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd)
     # cout tiling (co_t chosen above): the cout grid dim is inner, so the
@@ -384,7 +428,7 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     # across weight tiles
     nco = -(-cout // co_t)
     cout_pad = nco * co_t
-    w_stack = jnp.pad(kernel.astype(cd),
+    w_stack = jnp.pad(jnp.take(kernel, perm, axis=0).astype(cd),
                       ((0, k_pad - k_vol), (0, cinp - cin),
                        (0, cout_pad - cout))).reshape(k_pad * cinp, cout_pad)
 
@@ -393,10 +437,9 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
         t = pl.program_id(0)
         co = pl.program_id(1)
         n_prog = pl.num_programs(0)
-        slot = jax.lax.rem(t, 2)
 
-        def mk_dma(tt, s, c):
-            base = pl.multiple_of(lo_ref[tt], 8) + c * tw
+        def mk_dma(tt, gg, s, c):
+            base = pl.multiple_of(lo_ref[tt * n_groups + gg], 8) + c * tw
             if sep:
                 return (pltpu.make_async_copy(
                     f_ref.at[pl.ds(base, tw), :], fwin2.at[s],
@@ -407,12 +450,12 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
             return (pltpu.make_async_copy(
                 f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s]),)
 
-        def start(tt, s, c):
-            for d in mk_dma(tt, s, c):
+        def start(tt, gg, s, c):
+            for d in mk_dma(tt, gg, s, c):
                 d.start()
 
-        def wait(tt, s, c):
-            for d in mk_dma(tt, s, c):
+        def wait(tt, gg, s, c):
+            for d in mk_dma(tt, gg, s, c):
                 d.wait()
 
         def window(s):
@@ -423,61 +466,62 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
             return fw_f32.astype(cd), jax.lax.bitcast_convert_type(
                 fw_f32[:, cinp - 1:cinp], jnp.int32)
 
-        def compute(s, first: bool):
+        def compute(g, s, first: bool):
             fw, keys_w = window(s)
-            for g in range(n_groups):
-                sl_q = slice(g * group * tile, (g + 1) * group * tile)
-                qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
-                oht = (keys_w == qg).astype(cd)  # [TW, group*T]
-                gg = jax.lax.dot_general(
-                    oht, fw, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [group*T, CinP]
-                for j in range(group):
-                    sl_c = slice((g * group + j) * cinp,
-                                 (g * group + j + 1) * cinp)
-                    v = gg[j * tile:(j + 1) * tile].astype(cd)
-                    if first:
-                        gcat[:, sl_c] = v
-                    else:
-                        gcat[:, sl_c] = gcat[:, sl_c] + v
+            sl_q = slice(g * group * tile, (g + 1) * group * tile)
+            qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
+            oht = (keys_w == qg).astype(cd)  # [TW, group*T]
+            gg_ = jax.lax.dot_general(
+                oht, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [group*T, CinP]
+            for j in range(group):
+                sl_c = slice((g * group + j) * cinp,
+                             (g * group + j + 1) * cinp)
+                v = gg_[j * tile:(j + 1) * tile].astype(cd)
+                if first:
+                    gcat[:, sl_c] = v
+                else:
+                    gcat[:, sl_c] = gcat[:, sl_c] + v
 
-        # the gather (window DMA + one-hot matmuls) runs once per row tile,
-        # on the first cout step; later cout steps reuse gcat from scratch
+        # the gather (per-group window DMAs + one-hot matmuls) runs once per
+        # row tile, on the first cout step; later cout steps reuse gcat.
+        # The DMA sequence is (t, g) pairs in order; slot parity follows the
+        # flat counter t*n_groups+g, the next window always prefetching into
+        # the other slot while the current one computes.
         @pl.when(co == 0)
         def _():
-            @pl.when(t == 0)
-            def _():
-                start(0, 0, 0)
+            for g in range(n_groups):
+                slot = jax.lax.rem(t * n_groups + g, 2)
+                if g == 0:
+                    @pl.when(t == 0)
+                    def _():
+                        start(0, 0, 0, 0)
 
-            wait(t, slot, 0)
+                wait(t, g, slot, 0)
+                if g + 1 < n_groups:
+                    start(t, g + 1, 1 - slot, 0)
+                else:
+                    @pl.when(t + 1 < n_prog)
+                    def _():
+                        start(t + 1, 0, 1 - slot, 0)
 
-            @pl.when(t + 1 < n_prog)
-            def _():
-                start(t + 1, 1 - slot, 0)
+                compute(g, slot, first=True)
 
-            compute(slot, first=True)
+                def spill(c, _, g=g, slot=slot):
+                    # rare wide-group chunks: serial DMA into this slot
+                    start(t, g, slot, c)
+                    wait(t, g, slot, c)
+                    compute(g, slot, first=False)
+                    return 0
 
-            def spill(c, _):
-                # rare wide-window chunks: serial DMA into this tile's slot
-                start(t, slot, c)
-                wait(t, slot, c)
-                compute(slot, first=False)
-                return 0
+                jax.lax.fori_loop(1, nch_ref[t * n_groups + g], spill, 0)
 
-            jax.lax.fori_loop(1, nch_ref[t], spill, 0)
-
-        zero = nch_ref[t] == 0
-
-        @pl.when(zero)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        @pl.when(jnp.logical_not(zero))
-        def _():
-            out_ref[:] = jax.lax.dot_general(
-                gcat[...], w_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        # gcat is fully written every row tile (empty groups compute exact
+        # zeros — see _group_bounds), so no zero path is needed
+        out_ref[:] = jax.lax.dot_general(
+            gcat[...], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
     if sep:
         def kern(lo_r, nch_r, qk_r, f_r, k_r, w_r, out_r, fw2, kw2, gc, sm):
@@ -647,6 +691,9 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     offs_abs = np.asarray(static.offs, np.int64)
     n_groups = -(-k_vol // group)
     k_pad = n_groups * group
+    # same banded offset order as the forward (dW rows un-permuted at return)
+    perm = _offset_perm(offs_abs, s_in, flat_strides)
+    offs_abs = offs_abs[perm]
 
     qc = (out_coords[:, None, 1:] + jnp.asarray(offs_abs, jnp.int32)[None])
     sj = jnp.asarray(s_in, jnp.int32)
@@ -667,15 +714,7 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
         nt, 1, k_pad * tile)
 
     in_keys = flat_cell_key(in_coords, in_valid, static.s_in, static.extent)
-    qvalid = qk_tiles >= 0
-    qmin = jnp.min(jnp.where(qvalid, qk_tiles, np.int32(2 ** 30)),
-                   axis=(1, 2))
-    qmax = jnp.max(jnp.where(qvalid, qk_tiles, np.int32(-1)), axis=(1, 2))
-    any_valid = jnp.any(qvalid, axis=(1, 2))
-    lo = jnp.searchsorted(in_keys, qmin, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(in_keys, qmax, side="right").astype(jnp.int32)
-    lo = jnp.where(any_valid, (lo // 8) * 8, 0)
-    nch = jnp.where(any_valid, (jnp.maximum(hi - lo, 1) - 1) // tw + 1, 0)
+    lo, nch = _group_bounds(qk, nt, tile, n_groups, group, in_keys, tw)
 
     f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd)
     g_pad = jnp.zeros((n_pad, cout_pad), cd)
@@ -684,15 +723,17 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     def body(lo_ref, nch_ref, qk_ref, f_ref, k_ref, g_ref, out_ref, fwin2,
              kwin2, sem2):
         # grid (kg, co, t), t innermost: the (kg, co) accumulator block is
-        # revisited across consecutive t steps; the window DMA re-runs per
-        # pass (identical content — bandwidth traded for a VMEM-sized
+        # revisited across consecutive t steps; pass kg covers offset groups
+        # [kg*gpp, (kg+1)*gpp), each with its own narrow window (the window
+        # DMAs re-run once per pass — bandwidth traded for a VMEM-sized
         # accumulator)
+        kg = pl.program_id(0)
         t = pl.program_id(2)
         n_prog = pl.num_programs(2)
-        slot = jax.lax.rem(t, 2)
 
-        def mk_dma(tt, s, c):
-            base = pl.multiple_of(lo_ref[tt], 8) + c * tw
+        def mk_dma(tt, gg, s, c):
+            base = pl.multiple_of(
+                lo_ref[tt * n_groups + kg * gpp + gg], 8) + c * tw
             if sep:
                 return (pltpu.make_async_copy(
                     f_ref.at[pl.ds(base, tw), :], fwin2.at[s],
@@ -703,12 +744,12 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
             return (pltpu.make_async_copy(
                 f_ref.at[pl.ds(base, tw), :], fwin2.at[s], sem2.at[s]),)
 
-        def start(tt, s, c):
-            for d in mk_dma(tt, s, c):
+        def start(tt, gg, s, c):
+            for d in mk_dma(tt, gg, s, c):
                 d.start()
 
-        def wait(tt, s, c):
-            for d in mk_dma(tt, s, c):
+        def wait(tt, gg, s, c):
+            for d in mk_dma(tt, gg, s, c):
                 d.wait()
 
         def window(s):
@@ -718,23 +759,13 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
             return fw_f32.astype(cd), jax.lax.bitcast_convert_type(
                 fw_f32[:, cinp - 1:cinp], jnp.int32)
 
-        @pl.when(t == 0)
-        def _():
-            start(0, 0, 0)
-            out_ref[...] = jnp.zeros_like(out_ref)
-
-        wait(t, slot, 0)
-
-        @pl.when(t + 1 < n_prog)
-        def _():
-            start(t + 1, 1 - slot, 0)
-
-        def compute(s):
+        def compute(g, s):
             fw, keys_w = window(s)
             gt = g_ref[...]  # [T, co_t]
-            qg = qk_ref[0, 0:1, :]  # this pass's queries [1, gpp*group*T]
-            oht = (keys_w == qg).astype(cd)  # [TW, gpp*group*T]
-            for j in range(gpp * group):
+            sl_q = slice(g * group * tile, (g + 1) * group * tile)
+            qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
+            oht = (keys_w == qg).astype(cd)  # [TW, group*T]
+            for j in range(group):
                 oht_j = oht[:, j * tile:(j + 1) * tile]  # [TW, T]
                 b = jax.lax.dot_general(
                     oht_j, gt, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -743,18 +774,39 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
                     fw, b.astype(cd),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [CinP, co_t]
-                sl_r = slice(j * cinp, (j + 1) * cinp)
+                sl_r = slice((g * group + j) * cinp,
+                             (g * group + j + 1) * cinp)
                 out_ref[sl_r, :] = out_ref[sl_r, :] + dw
 
-        compute(slot)
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
-        def spill(c, _):
-            start(t, slot, c)
-            wait(t, slot, c)
-            compute(slot)
-            return 0
+        for g in range(gpp):
+            slot = jax.lax.rem(t * gpp + g, 2)
+            if g == 0:
+                @pl.when(t == 0)
+                def _():
+                    start(0, 0, 0, 0)
 
-        jax.lax.fori_loop(1, nch_ref[t], spill, 0)
+            wait(t, g, slot, 0)
+            if g + 1 < gpp:
+                start(t, g + 1, 1 - slot, 0)
+            else:
+                @pl.when(t + 1 < n_prog)
+                def _():
+                    start(t + 1, 0, 1 - slot, 0)
+
+            compute(g, slot)
+
+            def spill(c, _, g=g, slot=slot):
+                start(t, g, slot, c)
+                wait(t, g, slot, c)
+                compute(g, slot)
+                return 0
+
+            jax.lax.fori_loop(1, nch_ref[t * n_groups + kg * gpp + g],
+                              spill, 0)
 
     if sep:
         def kern(lo_r, nch_r, qk_r, f_r, k_r, g_r, out_r, fw2, kw2, sm):
@@ -801,7 +853,10 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
             vma=_union_vma(features, g, in_coords, out_coords)),
         interpret=static.interpret,
     )(lo, nch, qk_tiles, *arrays, g_pad)
-    return dw.reshape(k_pad, cinp, cout_pad)[:k_vol, :cin, :cout]
+    # rows are in banded (permuted) offset order — take them back out in
+    # the caller's original order
+    inv = np.argsort(perm)
+    return dw.reshape(k_pad, cinp, cout_pad)[jnp.asarray(inv), :cin, :cout]
 
 
 def _dkernel_gather(features, nbr_idx, g):
@@ -878,15 +933,16 @@ def fused_sparse_conv(
 
     Requires a bounded grid (``extent``) and rows in canonical flat-key order
     (`ops.coords.flat_cell_key` — what `make_grid` produces).  Window starts
-    per tile come from two `searchsorted` calls over the sorted key array
-    (one per tile instead of K*N_out lookups).
+    per (tile, offset band) come from two `searchsorted` calls over the
+    sorted key array (2·G per tile instead of K*N_out lookups).
 
-    Scheduling: offsets are processed ``group`` at a time (one wide compare +
-    one MXU matmul per group — few, large ops instead of K small ones); the
-    per-tile window DMA is double-buffered across grid steps (tile t
-    prefetches tile t+1's window before computing), so HBM latency hides
-    behind the MXU.  Spill chunks (windows wider than ``tw``) run serially —
-    they are data-rare and exact.
+    Scheduling: offsets are delta-sorted into bands of ``group`` (one wide
+    compare + one MXU matmul per band — few, large ops instead of K small
+    ones), each band reading its own narrow window (see `_offset_perm`); the
+    window DMAs are double-buffered along the flat (tile, band) sequence
+    (the next band's window prefetches while the current one computes), so
+    HBM latency hides behind the MXU.  Spill chunks (windows wider than
+    ``tw``) run serially — they are data-rare and exact.
 
     Differentiable: the custom_vjp backward extracts the kernel map with one
     extra fused pass (`_extract_nbr`) and applies the standard
@@ -894,10 +950,11 @@ def fused_sparse_conv(
     """
     assert in_grid.extent is not None, "fused conv requires a bounded grid"
     if group is None:
-        # offsets are processed `group` at a time; padding k_vol up to a
-        # multiple wastes gather-matmul columns, so pick the group that
-        # divides k_vol when it is small (k2 transposes: 8, k3: 27 -> 9)
-        group = spec.volume if spec.volume <= 12 else 9
+        # offsets are processed `group` at a time, each group with its own
+        # window; one band = offsets sharing the leading-axis displacement
+        # (after delta-sorting), whose flat keys span ~2*S_y instead of the
+        # kernel's ~2*S_x (k3 cube: 9, k2 transpose: 4) — the window unit
+        group = max(spec.volume // spec.kernel_size[0], 1)
     k_pad = -(-spec.volume // group) * group
     if select_params(features.shape[1], kernel.shape[2], k_pad, tile, tw,
                      compute_dtype) is None:
