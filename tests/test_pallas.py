@@ -234,3 +234,35 @@ def test_fused_dw_wide_cout_tiling(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_onehot_conv_cross_and_aniso(rng):
+    # HYPER_CROSS k=3 (volume 7 -> group 2, one padded offset) and an
+    # anisotropic (3,1,1) cube (volume 3 -> group 1): both hit the banded
+    # per-group window layout off the k3-cube fast shapes
+    st = _sphere(rng, 400, 1024, 3, 16, bsz=2)
+    for spec in (mt.ops.KernelSpec(3, 1, ndim=3,
+                                   region_type=mt.ops.RegionType.HYPER_CROSS),
+                 mt.ops.KernelSpec((3, 1, 1), 1, ndim=3)):
+        nbr = jax.jit(lambda g, s=spec: mt.ops.kernel_map(g, g, s))(st.grid)
+        kern = jnp.asarray(
+            rng.randn(spec.volume, 3, 16).astype(np.float32) * 0.1)
+        gout = jnp.asarray(rng.randn(1024, 16).astype(np.float32))
+        ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+            st.features, kern)
+        out = mt.ops.fused_sparse_conv(
+            st.features, kern, st.grid, st.grid, spec, tile=128, tw=128,
+            compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        dref = jax.grad(lambda f, k: jnp.vdot(
+            mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+            st.features, kern)
+        dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+            f, k, st.grid, st.grid, spec, tile=128, tw=128,
+            compute_dtype=jnp.float32, interpret=True), gout),
+            argnums=(0, 1))(st.features, kern)
+        np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                                   rtol=1e-4, atol=1e-5)
