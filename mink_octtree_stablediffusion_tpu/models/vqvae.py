@@ -56,8 +56,8 @@ class VQVAE(nn.Module):
 
     channels: Sequence[int] = (32, 128, 512, 512, 4)
     num_embeddings: int = 512
-    encoder_capacities: Sequence[int] = (4096, 1024, 512, 512, 512)
-    decoder_capacities: Sequence[int] = (512, 2048, 8192, 32768)
+    encoder_capacities: Sequence[int] = (16384, 8192, 2048, 2048, 2048)
+    decoder_capacities: Sequence[int] = (2048, 8192, 16384, 32768)
     max_keep: Optional[int] = None
     axis_name: Optional[str] = None
 

@@ -118,3 +118,27 @@ def test_prefetch_loader_order_and_sharding():
     # early close unblocks a full queue
     with mt.data.PrefetchLoader(iter(src), prefetch=1) as pl:
         next(pl)
+
+
+def test_capacity_schedule_covers_surface_occupancy():
+    # the example capacity schedule must hold the measured per-level voxel
+    # counts of surface data (levels shrink ~4x, NOT 8x: surfaces are 2-D
+    # sets) — an 8x-decay schedule silently top-k clips >90% of the latent
+    import sys
+    sys.path.insert(0, ".")
+    from examples.train_vae import capacities
+    from mink_octtree_stablediffusion_tpu.data import SyntheticShapes
+
+    ds = SyntheticShapes(resolution=64, num_samples=8)
+    batch = [np.asarray(ds[i]["coords"]) for i in range(8)]
+    n_in = sum(len(v) for v in batch)
+    cap = 2 * n_in  # the schedule assumes ~50% input-buffer utilization
+    enc, dec = capacities(cap)
+    for lvl, c_enc in zip((1, 2, 3), enc):
+        occ = sum(len(np.unique(v >> lvl, axis=0)) for v in batch)
+        assert c_enc >= occ, (lvl, c_enc, occ)
+    # decoder candidate sets mirror the encoder one level finer (+ the
+    # stride-1 level must hold the full input)
+    for lvl, c_dec in zip((3, 2, 1, 0), dec):
+        occ = sum(len(np.unique(v >> lvl, axis=0)) for v in batch)
+        assert c_dec >= occ, (lvl, c_dec, occ)
