@@ -26,10 +26,22 @@ import numpy as np
 
 import jax
 
-try:  # fall back to CPU if the TPU backend is unreachable (flaky tunnel)
-    jax.devices()
-except RuntimeError as e:
-    print(f"[bench] default backend unavailable ({e}); using CPU",
+# Fall back to CPU if the TPU backend is unreachable.  The flaky tunnel has
+# two failure modes: device enumeration RAISES, or it HANGS indefinitely —
+# probe in a subprocess with a hard deadline so the bench always completes.
+def _backend_alive(timeout_s: float = 150.0) -> bool:
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if not _backend_alive():
+    print("[bench] default backend unavailable (raise or hang); using CPU",
           file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
 
