@@ -266,3 +266,41 @@ def test_fused_onehot_conv_cross_and_aniso(rng):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_onehot_conv_dense_grid_spills(rng):
+    # 100%-occupied grid with a small tw: per-band windows exceed tw and the
+    # serial spill-chunk loop must still produce exact results (fwd + grads)
+    ext = 12
+    g = np.stack(np.meshgrid(*([np.arange(ext)] * 3), indexing="ij"),
+                 -1).reshape(-1, 3)
+    coords = np.concatenate([np.zeros((len(g), 1), np.int64), g],
+                            1).astype(np.int32)
+    cap = 2048  # 1728 valid rows
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (rng.randn(cap, 4) * valid[:, None]).astype(np.float32)
+    st = jax.jit(lambda c, f, v: mt.sparse_tensor(
+        c, f, capacity=cap, valid=v, batch_size=1, extent=(ext,) * 3))(
+        jnp.asarray(cpad), jnp.asarray(feats), jnp.asarray(valid))
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda gr: mt.ops.kernel_map(gr, gr, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32) * 0.1)
+    gout = jnp.asarray(rng.randn(cap, 8).astype(np.float32))
+    ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+        st.features, kern)
+    out = mt.ops.fused_sparse_conv(
+        st.features, kern, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    dref = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+        st.features, kern)
+    dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout),
+        argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-5)
