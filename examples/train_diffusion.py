@@ -22,6 +22,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: recompiles of these large programs are the
+# dominant startup cost
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# this environment registers a remote-TPU PJRT plugin via sitecustomize and
+# pins jax_platforms, so JAX_PLATFORMS alone is ignored — re-apply it so
+# `JAX_PLATFORMS=cpu python examples/...` behaves as users expect
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import diffusion as md
 from mink_octtree_stablediffusion_tpu import models as mm
@@ -52,6 +61,10 @@ def parse_args():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet stacks (memory for recompute)")
     p.add_argument("--with_attn", action="store_true", default=True)
+    p.add_argument("--attn_max_len", type=int, default=0,
+                   help="per-instance attention packing length (0 = derive "
+                        "from the latent capacity; too small silently drops "
+                        "tokens from attention)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=1000)
     p.add_argument("--total_steps", type=int, default=100_000)
@@ -94,9 +107,15 @@ def main():
     vae = mm.VAE(channels=tuple(cfg.vae_channel),
                  encoder_capacities=enc_caps, decoder_capacities=dec_caps)
     latent_cap = enc_caps[2]
+    # attention packs each instance to a static length; the finest
+    # attention-bearing level is the full latent (block1_tr), so cover the
+    # per-instance latent budget with skew headroom — undersizing silently
+    # drops tokens from attention (decomposed_features masks pos >= max_len)
+    attn_max_len = cfg.attn_max_len or max(
+        -(-latent_cap * 3 // (2 * cfg.batch_size) // 128) * 128, 128)
     unet = mm.UNet(channels=tuple(cfg.unet_channel),
                    with_attn=cfg.with_attn, group=cfg.group,
-                   remat=cfg.remat,
+                   remat=cfg.remat, attn_max_len=attn_max_len,
                    time_embedding_norm=cfg.time_embedding_norm,
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),

@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: recompiles of these large programs are the
+# dominant startup cost
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# this environment registers a remote-TPU PJRT plugin via sitecustomize and
+# pins jax_platforms, so JAX_PLATFORMS alone is ignored — re-apply it so
+# `JAX_PLATFORMS=cpu python examples/...` behaves as users expect
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import models as mm
 from mink_octtree_stablediffusion_tpu import train as mtrain

@@ -55,10 +55,11 @@ def bench(n, cap, cin, cout, b=4):
         import os
         tile = int(os.environ.get("TILE", "128"))
         tw = int(os.environ.get("TW", "256"))
+        group = int(os.environ.get("GROUP", "0")) or None
 
         def loss(f, k):
             return jnp.vdot(mt.ops.fused_sparse_conv(
-                f, k, st.grid, st.grid, spec, tile=tile, tw=tw,
+                f, k, st.grid, st.grid, spec, tile=tile, tw=tw, group=group,
                 compute_dtype=jnp.bfloat16), gout)
 
         def loss_dense(f, k):
