@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache + JAX_PLATFORMS re-apply (the sitecustomize pins
+# the platform, so the env var alone is ignored)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import diffusion as md
 from mink_octtree_stablediffusion_tpu import models as mm
@@ -48,6 +54,9 @@ def main():
     p.add_argument("--latent_mode", default="encoded",
                    choices=["encoded", "all"])
     p.add_argument("--group", type=int, default=32)
+    p.add_argument("--attn_max_len", type=int, default=0,
+                   help="0 = derive from latent capacity (must match "
+                        "training so attention sees the same token sets)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="samples")
     p.add_argument("--synthetic", action="store_true")
@@ -64,7 +73,10 @@ def main():
     vae = mm.VAE(channels=tuple(cfg.vae_channel),
                  encoder_capacities=enc_caps, decoder_capacities=dec_caps)
     latent_cap = enc_caps[2]
+    attn_max_len = cfg.attn_max_len or max(
+        -(-latent_cap * 3 // (2 * cfg.batch_size) // 128) * 128, 128)
     unet = mm.UNet(channels=tuple(cfg.unet_channel), group=cfg.group,
+                   attn_max_len=attn_max_len,
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),
                                     max(latent_cap // 8, 8)))
