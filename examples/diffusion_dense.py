@@ -18,6 +18,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# persistent compile cache + JAX_PLATFORMS re-apply (the sitecustomize pins
+# the platform, so the env var alone is ignored)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 import mink_octtree_stablediffusion_tpu as mt
