@@ -574,26 +574,30 @@ def _extract_nbr(static, in_coords, in_valid, out_coords, out_valid):
     """Materialize the kernel map `int32[K, N_out]` with ONE fused pass.
 
     Trick: run the one-hot gather with the input ROW INDEX as the feature,
-    base-256-digit encoded over two channels so every value is exact in
-    bf16 (indices < 65536 → both digits <= 255); a +1 on the low digit
+    base-256-digit encoded over three channels so every value is exact in
+    bf16 (indices < 2^24 → each digit <= 255, and a one-hot matmul of
+    integers <= 255 with fp32 accumulation is exact); a +1 on the low digit
     distinguishes row 0 from "no neighbor".  Used by the custom_vjp backward
     (the reference's ConvolutionBackward receives the same cached kernel map
     from its manager, `pybind/extern.hpp:87-115`)."""
     n = in_coords.shape[0]
     n_out = out_coords.shape[0]
     k_vol = len(static.offs)
-    assert n <= (1 << 16), "extend the digit encoding for capacities > 65536"
+    assert n <= (1 << 24), "extend the digit encoding for capacities > 2^24"
     idx = jnp.arange(n, dtype=jnp.int32)
-    feats = jnp.stack([idx // 256, idx % 256 + 1], axis=1).astype(jnp.float32)
-    w_id = np.zeros((k_vol, 2, 2 * k_vol), np.float32)
+    feats = jnp.stack([idx // 65536, (idx // 256) % 256, idx % 256 + 1],
+                      axis=1).astype(jnp.float32)
+    w_id = np.zeros((k_vol, 3, 3 * k_vol), np.float32)
     for kk in range(k_vol):
-        w_id[kk, 0, 2 * kk] = 1.0
-        w_id[kk, 1, 2 * kk + 1] = 1.0
+        w_id[kk, 0, 3 * kk] = 1.0
+        w_id[kk, 1, 3 * kk + 1] = 1.0
+        w_id[kk, 2, 3 * kk + 2] = 1.0
     dig = _fused_impl(static, feats, jnp.asarray(w_id), in_coords, in_valid,
-                      out_coords, out_valid)  # [N_out, 2K]
-    hi = jnp.round(dig[:, 0::2]).astype(jnp.int32)  # [N_out, K]
-    lo1 = jnp.round(dig[:, 1::2]).astype(jnp.int32)
-    nbr = jnp.where(lo1 > 0, hi * 256 + lo1 - 1, -1)
+                      out_coords, out_valid)  # [N_out, 3K]
+    hi = jnp.round(dig[:, 0::3]).astype(jnp.int32)  # [N_out, K]
+    mid = jnp.round(dig[:, 1::3]).astype(jnp.int32)
+    lo1 = jnp.round(dig[:, 2::3]).astype(jnp.int32)
+    nbr = jnp.where(lo1 > 0, hi * 65536 + mid * 256 + lo1 - 1, -1)
     return nbr.T  # [K, N_out]
 
 

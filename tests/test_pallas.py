@@ -304,3 +304,24 @@ def test_fused_onehot_conv_dense_grid_spills(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_extract_nbr_matches_kernel_map(rng):
+    # the backward's fused kernel-map extraction (base-256 digit encoding)
+    # must reproduce ops.kernel_map exactly, including in bf16 compute
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    from mink_octtree_stablediffusion_tpu.ops.coords import _tuplize
+
+    st = _sphere(rng, 400, 1024, 3, 16, bsz=2)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr_ref = np.asarray(
+        jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid))
+    offs = spec.absolute_offsets(st.grid.stride)
+    static = oh._FusedStatic(
+        np.asarray(offs, np.int64).tolist(),
+        _tuplize(st.grid.stride, st.grid.ndim), st.grid.extent,
+        128, 128, 9, jnp.bfloat16, True)
+    nbr = np.asarray(oh._extract_nbr(static, st.grid.coords, st.grid.valid,
+                                     st.grid.coords, st.grid.valid))
+    # kernel_map and _extract_nbr agree offset-for-offset (same offset order)
+    np.testing.assert_array_equal(nbr, nbr_ref)
