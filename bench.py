@@ -40,7 +40,21 @@ def _backend_alive(timeout_s: float = 150.0) -> bool:
         return False
 
 
-if not _backend_alive():
+def _probe_with_retries(attempts: int = 4, wait_s: float = 120.0) -> bool:
+    """The tunnel's outages last minutes — retry before giving up the chip
+    (a CPU-fallback number recorded by the driver is worth several minutes
+    of waiting)."""
+    for i in range(attempts):
+        if _backend_alive():
+            return True
+        if i + 1 < attempts:
+            print(f"[bench] backend probe {i + 1}/{attempts} failed; "
+                  f"retrying in {wait_s:.0f}s", file=sys.stderr)
+            time.sleep(wait_s)
+    return False
+
+
+if not _probe_with_retries():
     print("[bench] default backend unavailable (raise or hang); using CPU",
           file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
