@@ -15,11 +15,33 @@ import numpy as np
 
 import jax
 
-try:
-    jax.devices()
-except RuntimeError as e:
-    print(f"[bench_ddim] default backend unavailable ({e}); using CPU",
-          file=sys.stderr)
+def _backend_alive(timeout_s: float = 150.0) -> bool:
+    """Probe in a subprocess with a hard deadline — the flaky tunnel can
+    RAISE or HANG device enumeration (see bench.py)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _probe_with_retries(attempts: int = 4, wait_s: float = 120.0) -> bool:
+    for i in range(attempts):
+        if _backend_alive():
+            return True
+        if i + 1 < attempts:
+            print(f"[bench_ddim] backend probe {i + 1}/{attempts} failed; "
+                  f"retrying in {wait_s:.0f}s", file=sys.stderr)
+            time.sleep(wait_s)
+    return False
+
+
+if not _probe_with_retries():
+    print("[bench_ddim] default backend unavailable (raise or hang); "
+          "using CPU", file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
