@@ -12,7 +12,7 @@ jax.sharding meshes.
 
 __version__ = "0.1.0"
 
-from . import config, data, diffusion, models, nn, ops, parallel, tensor, train, utils
+from . import config, data, diffusion, models, nn, ops, parallel, serve, tensor, train, utils
 from .config import Algorithm, get_algorithm, set_algorithm
 from .ops import SparseGrid
 from .tensor import (
