@@ -61,6 +61,9 @@ def main():
     p.add_argument("--out_dir", type=str, default="samples")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--input_capacity", type=int, default=65536)
+    p.add_argument("--export_dir", type=str, default=None,
+                   help="also write a jax.export serving artifact "
+                        "(mt.serve.save_artifact) for AOT deployment")
     cfg = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("generate")
@@ -156,6 +159,17 @@ def main():
     path = os.path.join(cfg.out_dir, "generated.png")
     mt.utils.render_pointclouds(clouds, path, resolution=cfg.resolution)
     log.info("wrote %s", path)
+
+    if cfg.export_dir:
+        fn = mt.serve.build_generate_fn(
+            vae, unet, sched, input_capacity=cap, batch_size=b,
+            resolution=cfg.resolution, vae_scale=cfg.vae_scale,
+            sample_steps=cfg.sample_steps)
+        d = mt.serve.save_artifact(cfg.export_dir, fn, vae_vars,
+                                   unet_vars["params"],
+                                   example=(np.asarray(cpad),
+                                            np.asarray(valid)))
+        log.info("serving artifact written to %s", d)
 
 
 if __name__ == "__main__":
