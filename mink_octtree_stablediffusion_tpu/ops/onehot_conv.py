@@ -105,7 +105,7 @@ def _key_layout(cin: int):
 
 
 def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
-                  compute_dtype) -> tuple | None:
+                  compute_dtype, nslots: int = 2) -> tuple | None:
     """Fit (tile, tw, co_t) into the 16M scoped-VMEM limit, or None.
 
     Mosaic double-buffers every grid-indexed block, so block pairs count
@@ -126,9 +126,10 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
         # + out block + query block.  Mosaic's scoped-vmem stack accounting
         # counts scratch buffers TWICE (measured: a 3.5M gcat showed up as
         # ~7M — a 512-wide layer overflowed by exactly that margin), hence
-        # the 2x on gcat and 4x (2 declared slots x 2) on the windows.
-        return (2 * t * k_pad * cinp * wbytes + 4 * w * cinp * fwbytes +
-                (4 * w * 128 * 4 if sep else 0) +
+        # the 2x on gcat and 2*nslots (declared slots x 2) on the windows.
+        return (2 * t * k_pad * cinp * wbytes +
+                2 * nslots * w * cinp * fwbytes +
+                (2 * nslots * w * 128 * 4 if sep else 0) +
                 2 * k_pad * cinp * c * wbytes + 2 * t * c * 4 +
                 2 * k_pad * t * 4)
 
@@ -320,12 +321,24 @@ def onehot_sparse_conv(
     return out[:n_out]
 
 
+_SPILL_RING = False  # default pending on-chip Mosaic validation of the
+#                      traced ring-slot index (scripts/check_fused_tpu.py)
+
+
+def use_spill_ring(flag: bool) -> None:
+    """Toggle the ring-buffered spill-chunk schedule (a third window slot
+    lets chunk c+1 prefetch while chunk c computes; the serial schedule
+    start-wait-computes each spill chunk in place).  For A/B benchmarks."""
+    global _SPILL_RING
+    _SPILL_RING = flag
+
+
 class _FusedStatic:
     """Hashable static config for the fused conv primitive (custom_vjp
     nondiff arg)."""
 
     def __init__(self, offs, s_in, extent, tile, tw, group, cd, interpret,
-                 s_out=None):
+                 s_out=None, ring=None):
         self.offs = tuple(map(tuple, offs))  # absolute units, sign applied
         self.s_in = tuple(s_in)
         self.s_out = tuple(s_out) if s_out is not None else tuple(s_in)
@@ -335,10 +348,12 @@ class _FusedStatic:
         self.group = group
         self.cd = cd
         self.interpret = interpret
+        self.ring = _SPILL_RING if ring is None else ring
 
     def _key(self):
         return (self.offs, self.s_in, self.s_out, self.extent, self.tile,
-                self.tw, self.group, jnp.dtype(self.cd).name, self.interpret)
+                self.tw, self.group, jnp.dtype(self.cd).name, self.interpret,
+                self.ring)
 
     def __hash__(self):
         return hash(self._key())
@@ -353,7 +368,7 @@ class _FusedStatic:
         return _FusedStatic([[-o for o in off] for off in self.offs],
                             self.s_out, self.extent, self.tile, self.tw,
                             self.group, self.cd, self.interpret,
-                            s_out=self.s_in)
+                            s_out=self.s_in, ring=self.ring)
 
 
 def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
@@ -370,8 +385,9 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     n_out = out_coords.shape[0]
     cd = static.cd
     sep, cinp = _key_layout(cin)
+    nslots = 3 if static.ring else 2
     k_pad_0 = -(-k_vol // group) * group
-    params = select_params(cin, cout, k_pad_0, tile, tw, cd)
+    params = select_params(cin, cout, k_pad_0, tile, tw, cd, nslots)
     assert params is not None, (
         "fused conv VMEM budget exceeded — fused_sparse_conv should have "
         "fallen back to the XLA path")
@@ -487,17 +503,25 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
         # row tile, on the first cout step; later cout steps reuse gcat.
         # The DMA sequence is (t, g) pairs in order; slot parity follows the
         # flat counter t*n_groups+g, the next window always prefetching into
-        # the other slot while the current one computes.
+        # the other slot while the current one computes.  Spill chunks
+        # (windows wider than TW) ring over {slot, 2}: chunk c+1 prefetches
+        # into the other ring slot while chunk c computes (slot 2 exists only
+        # when static.ring; the serial fallback start-wait-computes in place).
         @pl.when(co == 0)
         def _():
             for g in range(n_groups):
                 slot = jax.lax.rem(t * n_groups + g, 2)
+                nch_g = nch_ref[t * n_groups + g]
                 if g == 0:
                     @pl.when(t == 0)
                     def _():
                         start(0, 0, 0, 0)
 
                 wait(t, g, slot, 0)
+                if static.ring:
+                    @pl.when(nch_g > 1)
+                    def _(g=g):
+                        start(t, g, 2, 1)
                 if g + 1 < n_groups:
                     start(t, g + 1, 1 - slot, 0)
                 else:
@@ -507,14 +531,27 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
 
                 compute(g, slot, first=True)
 
-                def spill(c, _, g=g, slot=slot):
-                    # rare wide-group chunks: serial DMA into this slot
-                    start(t, g, slot, c)
-                    wait(t, g, slot, c)
-                    compute(g, slot, first=False)
-                    return 0
+                if static.ring:
+                    def spill(c, _, g=g, slot=slot, nch_g=nch_g):
+                        cur = jnp.where(jax.lax.rem(c, 2) == 1, 2, slot)
+                        wait(t, g, cur, c)
 
-                jax.lax.fori_loop(1, nch_ref[t * n_groups + g], spill, 0)
+                        @pl.when(c + 1 < nch_g)
+                        def _(g=g):
+                            nxt = jnp.where(jax.lax.rem(c, 2) == 1, slot, 2)
+                            start(t, g, nxt, c + 1)
+
+                        compute(g, cur, first=False)
+                        return 0
+                else:
+                    def spill(c, _, g=g, slot=slot):
+                        # serial DMA into this slot
+                        start(t, g, slot, c)
+                        wait(t, g, slot, c)
+                        compute(g, slot, first=False)
+                        return 0
+
+                jax.lax.fori_loop(1, nch_g, spill, 0)
 
         # gcat is fully written every row tile (empty groups compute exact
         # zeros — see _group_bounds), so no zero path is needed
@@ -528,15 +565,15 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
             body(lo_r, nch_r, qk_r, f_r, k_r, w_r, out_r, fw2, kw2, gc, sm)
 
         extra_in = [pl.BlockSpec(memory_space=pl.ANY)]  # keys stay in HBM
-        extra_scratch = [pltpu.VMEM((2, tw, 128), jnp.int32)]
-        fwin_dtype, sem_shape, arrays = cd, (2, 2), (f_aug, k_rep)
+        extra_scratch = [pltpu.VMEM((nslots, tw, 128), jnp.int32)]
+        fwin_dtype, sem_shape, arrays = cd, (nslots, 2), (f_aug, k_rep)
     else:
         def kern(lo_r, nch_r, qk_r, f_r, w_r, out_r, fw2, gc, sm):
             body(lo_r, nch_r, qk_r, f_r, None, w_r, out_r, fw2, None, gc, sm)
 
         extra_in = []
         extra_scratch = []
-        fwin_dtype, sem_shape, arrays = jnp.float32, (2,), (f_aug,)
+        fwin_dtype, sem_shape, arrays = jnp.float32, (nslots,), (f_aug,)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -553,7 +590,7 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
         out_specs=pl.BlockSpec((tile, co_t), lambda t, co, lo, nch: (t, co),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tw, cinp), fwin_dtype),
+            pltpu.VMEM((nslots, tw, cinp), fwin_dtype),
             *extra_scratch,
             pltpu.VMEM((tile, k_pad * cinp), cd),
             pltpu.SemaphoreType.DMA(sem_shape),
@@ -617,7 +654,7 @@ def _fused_fwd(static, features, kernel, in_coords, in_valid, out_coords,
 
 
 def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
-               tw: int):
+               tw: int, nslots: int = 2):
     """Blocking of the fused dW kernel: the fp32 accumulator is tiled over a
     (k-group, cout) grid so it fits scoped VMEM at ANY layer width (wide
     layers previously fell back to the XLA gather transpose — the measured
@@ -634,8 +671,9 @@ def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
         # accumulator pair + windows (scratch counts twice — see
         # select_params) + g block pair + query block pair
         fwb = 4 if not sep else 4  # fp32 inline window / cd<=4 sep window
-        return (2 * gp * group * cinp * c * 4 + 4 * w * cinp * fwb +
-                (4 * w * 128 * 4 if sep else 0) +
+        return (2 * gp * group * cinp * c * 4 +
+                2 * nslots * w * cinp * fwb +
+                (2 * nslots * w * 128 * 4 if sep else 0) +
                 2 * t * c * 4 + 2 * k_pad * t * 4)
 
     budget = 27 * 2 ** 19
@@ -677,9 +715,11 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     n_out = out_coords.shape[0]
     cd = static.cd
     sep, cinp = _key_layout(cin)
+    nslots = 3 if static.ring else 2
     coutp = max(_round_up(cout, 128), 128)
     k_pad0 = -(-k_vol // group) * group
-    params = _dk_params(cin, cout, k_pad0, group, static.tile, static.tw)
+    params = _dk_params(cin, cout, k_pad0, group, static.tile, static.tw,
+                        nslots)
     assert params is not None, "dW blocking infeasible — caller gates this"
     tile, tw, co_t, gpp = params
     nco = coutp // co_t if coutp % co_t == 0 else -(-coutp // co_t)
@@ -788,12 +828,17 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
 
         for g in range(gpp):
             slot = jax.lax.rem(t * gpp + g, 2)
+            nch_g = nch_ref[t * n_groups + kg * gpp + g]
             if g == 0:
                 @pl.when(t == 0)
                 def _():
                     start(0, 0, 0, 0)
 
             wait(t, g, slot, 0)
+            if static.ring:
+                @pl.when(nch_g > 1)
+                def _(g=g):
+                    start(t, g, 2, 1)
             if g + 1 < gpp:
                 start(t, g + 1, 1 - slot, 0)
             else:
@@ -803,29 +848,41 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
 
             compute(g, slot)
 
-            def spill(c, _, g=g, slot=slot):
-                start(t, g, slot, c)
-                wait(t, g, slot, c)
-                compute(g, slot)
-                return 0
+            if static.ring:
+                def spill(c, _, g=g, slot=slot, nch_g=nch_g):
+                    cur = jnp.where(jax.lax.rem(c, 2) == 1, 2, slot)
+                    wait(t, g, cur, c)
 
-            jax.lax.fori_loop(1, nch_ref[t * n_groups + kg * gpp + g],
-                              spill, 0)
+                    @pl.when(c + 1 < nch_g)
+                    def _(g=g):
+                        nxt = jnp.where(jax.lax.rem(c, 2) == 1, slot, 2)
+                        start(t, g, nxt, c + 1)
+
+                    compute(g, cur)
+                    return 0
+            else:
+                def spill(c, _, g=g, slot=slot):
+                    start(t, g, slot, c)
+                    wait(t, g, slot, c)
+                    compute(g, slot)
+                    return 0
+
+            jax.lax.fori_loop(1, nch_g, spill, 0)
 
     if sep:
         def kern(lo_r, nch_r, qk_r, f_r, k_r, g_r, out_r, fw2, kw2, sm):
             body(lo_r, nch_r, qk_r, f_r, k_r, g_r, out_r, fw2, kw2, sm)
 
         extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
-        extra_scratch = [pltpu.VMEM((2, tw, 128), jnp.int32)]
-        fwin_dtype, sem_shape, arrays = cd, (2, 2), (f_aug, k_rep)
+        extra_scratch = [pltpu.VMEM((nslots, tw, 128), jnp.int32)]
+        fwin_dtype, sem_shape, arrays = cd, (nslots, 2), (f_aug, k_rep)
     else:
         def kern(lo_r, nch_r, qk_r, f_r, g_r, out_r, fw2, sm):
             body(lo_r, nch_r, qk_r, f_r, None, g_r, out_r, fw2, None, sm)
 
         extra_in = []
         extra_scratch = []
-        fwin_dtype, sem_shape, arrays = jnp.float32, (2,), (f_aug,)
+        fwin_dtype, sem_shape, arrays = jnp.float32, (nslots,), (f_aug,)
 
     n_passes = n_groups // gpp
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -844,7 +901,7 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
                                lambda kg, co, t, lo, nch: (kg, co),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tw, cinp), fwin_dtype),
+            pltpu.VMEM((nslots, tw, cinp), fwin_dtype),
             *extra_scratch,
             pltpu.SemaphoreType.DMA(sem_shape),
         ],
@@ -878,9 +935,10 @@ def _fused_bwd(static, res, g):
     k_vol = len(static.offs)
     cin, cout = kernel.shape[1], kernel.shape[2]
     k_pad = -(-k_vol // static.group) * static.group
+    nslots = 3 if static.ring else 2
     nbr = None
     if select_params(cout, cin, k_pad, static.tile, static.tw,
-                     static.cd) is None:
+                     static.cd, nslots) is None:
         # flipped direction over VMEM budget: gather/scatter transpose
         nbr = _extract_nbr(static, ic, iv, oc, ov)
         dfeat, _ = _xla_backward(features, kernel, nbr, g)
@@ -891,7 +949,7 @@ def _fused_bwd(static, res, g):
         dfeat = _fused_impl(static.flipped(), g.astype(features.dtype),
                             jnp.swapaxes(kernel, 1, 2), oc, ov, ic, iv)
     if _dk_params(cin, cout, k_pad, static.group, static.tile,
-                  static.tw) is not None:
+                  static.tw, nslots) is not None:
         dkernel = _dkernel_fused(static, features, g, ic, iv, oc, ov,
                                  k_vol, cin, cout)
     else:
@@ -961,7 +1019,7 @@ def fused_sparse_conv(
         group = max(spec.volume // spec.kernel_size[0], 1)
     k_pad = -(-spec.volume // group) * group
     if select_params(features.shape[1], kernel.shape[2], k_pad, tile, tw,
-                     compute_dtype) is None:
+                     compute_dtype, 3 if _SPILL_RING else 2) is None:
         # even the smallest legal blocking exceeds scoped VMEM (extremely
         # wide layers): unfused XLA path
         from .conv import sparse_conv_apply

@@ -268,9 +268,16 @@ def test_fused_onehot_conv_cross_and_aniso(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
-def test_fused_onehot_conv_dense_grid_spills(rng):
+import pytest
+
+
+@pytest.mark.parametrize("ring", [True, False])
+def test_fused_onehot_conv_dense_grid_spills(rng, ring, request):
     # 100%-occupied grid with a small tw: per-band windows exceed tw and the
-    # serial spill-chunk loop must still produce exact results (fwd + grads)
+    # spill-chunk loop (ring-buffered or serial) must stay exact (fwd+grads)
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    oh.use_spill_ring(ring)
+    request.addfinalizer(lambda: oh.use_spill_ring(True))
     ext = 12
     g = np.stack(np.meshgrid(*([np.arange(ext)] * 3), indexing="ij"),
                  -1).reshape(-1, 3)
