@@ -37,18 +37,25 @@ CONFIGS = [  # (tile, tw, group)
 
 
 def main():
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+
     os.environ["SKIP_DENSE"] = "1"
     shapes = SHAPES[:1] if "quick" in sys.argv[1:] else SHAPES
+    rings = ((False,) if "noring" in sys.argv[1:]
+             else (True,) if "ring" in sys.argv[1:] else (False, True))
     for n, cap, cin, cout, b in shapes:
         print(f"=== n={n} cap={cap} {cin}->{cout} b={b} ===", flush=True)
-        for tile, tw, group in CONFIGS:
-            os.environ["TILE"] = str(tile)
-            os.environ["TW"] = str(tw)
-            os.environ["GROUP"] = str(group)
-            r = bench(n, cap, cin, cout, b)
-            tag = f"tile={tile} tw={tw} group={group or 'auto'}"
-            print(f"  {tag}: " + "  ".join(
-                f"{m}={v:.2f}ms" for m, v in r.items()), flush=True)
+        for ring in rings:
+            oh.use_spill_ring(ring)
+            for tile, tw, group in CONFIGS:
+                os.environ["TILE"] = str(tile)
+                os.environ["TW"] = str(tw)
+                os.environ["GROUP"] = str(group)
+                r = bench(n, cap, cin, cout, b)
+                tag = (f"ring={int(ring)} tile={tile} tw={tw} "
+                       f"group={group or 'auto'}")
+                print(f"  {tag}: " + "  ".join(
+                    f"{m}={v:.2f}ms" for m, v in r.items()), flush=True)
 
 
 if __name__ == "__main__":
