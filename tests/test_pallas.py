@@ -276,8 +276,9 @@ def test_fused_onehot_conv_dense_grid_spills(rng, ring, request):
     # 100%-occupied grid with a small tw: per-band windows exceed tw and the
     # spill-chunk loop (ring-buffered or serial) must stay exact (fwd+grads)
     from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    prev = oh._SPILL_RING
     oh.use_spill_ring(ring)
-    request.addfinalizer(lambda: oh.use_spill_ring(True))
+    request.addfinalizer(lambda: oh.use_spill_ring(prev))
     ext = 12
     g = np.stack(np.meshgrid(*([np.arange(ext)] * 3), indexing="ij"),
                  -1).reshape(-1, 3)
