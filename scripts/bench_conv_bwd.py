@@ -84,6 +84,8 @@ def bench(n, cap, cin, cout, b=4):
 
     import os
     modes = MODES[:5] if os.environ.get("SKIP_DENSE") else MODES
+    if os.environ.get("MODES"):  # e.g. MODES=fwd,both — cut compile count
+        modes = tuple(os.environ["MODES"].split(","))
     out = {}
     for mode in modes:
         def chain(steps):
