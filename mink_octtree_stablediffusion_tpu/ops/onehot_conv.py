@@ -104,6 +104,12 @@ def _key_layout(cin: int):
     return cinp_inline > cinp_plain, cinp_plain
 
 
+# 13.5M: 16M scoped-VMEM limit minus ~2.5M empirical allocator overhead /
+# alignment (module-level so tests can shrink it to exercise the band-split
+# schedule at cheap widths)
+_VMEM_BUDGET = 27 * 2 ** 19
+
+
 def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
                   compute_dtype, nslots: int = 2) -> tuple | None:
     """Fit (tile, tw, co_t) into the 16M scoped-VMEM limit, or None.
@@ -133,8 +139,7 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
                 2 * k_pad * cinp * c * wbytes + 2 * t * c * 4 +
                 2 * k_pad * t * 4)
 
-    # 13.5M: 16M limit minus ~2.5M empirical allocator overhead/alignment
-    budget = 27 * 2 ** 19
+    budget = _VMEM_BUDGET
     tiles = [t for t in (tile, tile // 2, tile // 4) if t >= 32] or [32]
     tws = [w for w in (tw, tw // 2) if w >= 128] or [128]
     cos = [c for c in (cout, 512, 384, 256, 128)
@@ -371,6 +376,60 @@ class _FusedStatic:
                             s_out=self.s_in, ring=self.ring)
 
 
+def conv_schedule(cin: int, cout: int, k_vol: int, group: int, tile: int,
+                  tw: int, compute_dtype, nslots: int = 2) -> str | None:
+    """Which fused schedule fits scoped VMEM: "full" (one kernel holding the
+    whole [K·CinP, co_t] weight slab), "split" (per-band kernels — very wide
+    layers like the reference UNet's 960-channel level, where even co_t=128
+    puts the full slab over budget), or None (fall back to the XLA path)."""
+    k_pad = -(-k_vol // group) * group
+    if select_params(cin, cout, k_pad, tile, tw, compute_dtype,
+                     nslots) is not None:
+        return "full"
+    if (k_vol > group and
+            select_params(cin, cout, group, tile, tw, compute_dtype,
+                          nslots) is not None):
+        return "split"
+    return None
+
+
+def _flat_geometry(static):
+    """(cells, flat_strides) of the input lattice in flat-key space."""
+    s_in = np.asarray(static.s_in, np.int64)
+    cells = np.asarray([int(np.ceil(e / s)) for e, s in
+                        zip(static.extent, s_in)], np.int64)
+    flat_strides = np.concatenate(
+        [np.cumprod(cells[::-1])[::-1][1:], [1]]).astype(np.int64)
+    return s_in, cells, flat_strides
+
+
+def _fused_impl_split(static, features, kernel, in_coords, in_valid,
+                      out_coords, out_valid):
+    """Band-split schedule for very wide layers (960/1280-channel UNet
+    levels): the full [K·CinP, co_t] weight slab exceeds scoped VMEM at any
+    legal blocking, so each delta-sorted band of ``group`` offsets runs the
+    standard kernel with its own [group·CinP, co_t] slab and the per-band
+    outputs are summed.  Same window DMAs and weight traffic in total; only
+    the per-band fp32 accumulations are rounded to the feature dtype before
+    the cross-band sum (fp32 features: identical math)."""
+    s_in, cells, flat_strides = _flat_geometry(static)
+    offs_abs = np.asarray(static.offs, np.int64)
+    perm = _offset_perm(offs_abs, s_in, flat_strides)
+    g = static.group
+    out = None
+    for i in range(0, len(perm), g):
+        chunk = [int(j) for j in perm[i:i + g]]
+        sub = _FusedStatic([list(static.offs[j]) for j in chunk],
+                           static.s_in, static.extent, static.tile,
+                           static.tw, g, static.cd, static.interpret,
+                           s_out=static.s_out, ring=static.ring)
+        o = _fused_impl(sub, features,
+                        jnp.take(kernel, jnp.asarray(chunk), axis=0),
+                        in_coords, in_valid, out_coords, out_valid)
+        out = o if out is None else out + o
+    return out
+
+
 def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
                 out_valid):
     """Array-level fused one-hot conv forward (see `fused_sparse_conv`)."""
@@ -388,9 +447,13 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     nslots = 3 if static.ring else 2
     k_pad_0 = -(-k_vol // group) * group
     params = select_params(cin, cout, k_pad_0, tile, tw, cd, nslots)
-    assert params is not None, (
-        "fused conv VMEM budget exceeded — fused_sparse_conv should have "
-        "fallen back to the XLA path")
+    if params is None:
+        assert conv_schedule(cin, cout, k_vol, group, tile, tw, cd,
+                             nslots) == "split", (
+            "fused conv VMEM budget exceeded — fused_sparse_conv should "
+            "have fallen back to the XLA path")
+        return _fused_impl_split(static, features, kernel, in_coords,
+                                 in_valid, out_coords, out_valid)
     tile, tw, co_t = params
     nt = -(-n_out // tile)
     n_pad = nt * tile
@@ -676,7 +739,7 @@ def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
                 (2 * nslots * w * 128 * 4 if sep else 0) +
                 2 * t * c * 4 + 2 * k_pad * t * 4)
 
-    budget = 27 * 2 ** 19
+    budget = _VMEM_BUDGET
     # group*tile is the qk lane-block width — must stay 128-aligned
     tiles = [t for t in (tile, tile // 2)
              if t >= 32 and (group * t) % 128 == 0] or [128]
@@ -937,8 +1000,8 @@ def _fused_bwd(static, res, g):
     k_pad = -(-k_vol // static.group) * static.group
     nslots = 3 if static.ring else 2
     nbr = None
-    if select_params(cout, cin, k_pad, static.tile, static.tw,
-                     static.cd, nslots) is None:
+    if conv_schedule(cout, cin, k_vol, static.group, static.tile,
+                     static.tw, static.cd, nslots) is None:
         # flipped direction over VMEM budget: gather/scatter transpose
         nbr = _extract_nbr(static, ic, iv, oc, ov)
         dfeat, _ = _xla_backward(features, kernel, nbr, g)
@@ -1017,11 +1080,11 @@ def fused_sparse_conv(
         # (after delta-sorting), whose flat keys span ~2*S_y instead of the
         # kernel's ~2*S_x (k3 cube: 9, k2 transpose: 4) — the window unit
         group = max(spec.volume // spec.kernel_size[0], 1)
-    k_pad = -(-spec.volume // group) * group
-    if select_params(features.shape[1], kernel.shape[2], k_pad, tile, tw,
-                     compute_dtype, 3 if _SPILL_RING else 2) is None:
-        # even the smallest legal blocking exceeds scoped VMEM (extremely
-        # wide layers): unfused XLA path
+    if conv_schedule(features.shape[1], kernel.shape[2], spec.volume, group,
+                     tile, tw, compute_dtype,
+                     3 if _SPILL_RING else 2) is None:
+        # even the per-band slab exceeds scoped VMEM (single very wide
+        # offset band): unfused XLA path
         from .conv import sparse_conv_apply
         from .neighbors import kernel_map
         nbr = kernel_map(in_grid, out_grid, spec)

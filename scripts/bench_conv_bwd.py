@@ -23,9 +23,13 @@ SHAPES = [(1500, 2048, 512, 512, 4), (6000, 8192, 512, 512, 4),
           (24000, 32768, 128, 128, 4), (90000, 131072, 32, 32, 4)]
 RES = 64
 MODES = ("geom", "fwd", "dF", "dW", "both", "densefwd", "denseboth")
+# extra (env MODES only): xfwd/xboth — the unfused XLA kernel_map+gather path
 
 
 def bench(n, cap, cin, cout, b=4):
+    import os
+    res = int(os.environ.get("EXT", str(RES)))
+    grid_kind = os.environ.get("GRID", "sphere")  # sphere | dense
     rng = np.random.RandomState(0)
     spec = mt.ops.KernelSpec(3, 1, ndim=3)
     kern = jnp.asarray((rng.randn(27, cin, cout) * 0.05).astype(np.float32))
@@ -35,9 +39,18 @@ def bench(n, cap, cin, cout, b=4):
         r = np.random.RandomState(seed)
         vox = []
         for bi in range(b):
-            p = r.randn(npb, 3)
-            p /= np.linalg.norm(p, axis=1, keepdims=True) + 1e-9
-            vox.append(((p * (RES / 2 - 1.5)) + RES / 2).astype(np.int32))
+            if grid_kind == "dense":
+                # random cell subset — matches the UNet's latent-level
+                # occupancy (coarse strided grids are dense-ish)
+                flat = r.choice(res ** 3, size=min(npb, res ** 3),
+                                replace=False)
+                vox.append(np.stack([flat // (res * res),
+                                     (flat // res) % res,
+                                     flat % res], 1).astype(np.int32))
+            else:
+                p = r.randn(npb, 3)
+                p /= np.linalg.norm(p, axis=1, keepdims=True) + 1e-9
+                vox.append(((p * (res / 2 - 1.5)) + res / 2).astype(np.int32))
         coords = mt.ops.batched_coordinates_np(vox)
         cpad, valid = mt.ops.pad_to_capacity(coords, cap)
         return cpad, valid
@@ -50,7 +63,7 @@ def bench(n, cap, cin, cout, b=4):
 
     def run(coords, valid, feats, mode):
         st = mt.sparse_tensor(coords, feats, capacity=cap, valid=valid,
-                              batch_size=b, extent=(RES,) * 3)
+                              batch_size=b, extent=(res,) * 3)
 
         import os
         tile = int(os.environ.get("TILE", "128"))
@@ -66,6 +79,11 @@ def bench(n, cap, cin, cout, b=4):
             return jnp.vdot(mt.ops.dense_conv_apply(
                 f, k, st.grid, spec, compute_dtype=jnp.bfloat16), gout)
 
+        def loss_xla(f, k):
+            nbr = mt.ops.kernel_map(st.grid, st.grid, spec)
+            return jnp.vdot(mt.ops.sparse_conv_apply(
+                f, k, nbr, compute_dtype=jnp.bfloat16), gout)
+
         if mode == "geom":
             return jnp.sum(st.grid.coords).astype(jnp.float32) * 1e-9
         if mode == "fwd":
@@ -74,6 +92,11 @@ def bench(n, cap, cin, cout, b=4):
             return jnp.sum(jax.grad(loss, 0)(st.features, kern))
         if mode == "dW":
             return jnp.sum(jax.grad(loss, 1)(st.features, kern))
+        if mode == "xfwd":
+            return loss_xla(st.features, kern)
+        if mode == "xboth":
+            g = jax.grad(loss_xla, (0, 1))(st.features, kern)
+            return jnp.sum(g[0]) + jnp.sum(g[1])
         if mode == "densefwd":
             return loss_dense(st.features, kern)
         if mode == "denseboth":

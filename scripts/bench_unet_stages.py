@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no_attn", action="store_true",
+                    help="ablation: attention share of the step")
     args = ap.parse_args()
 
     if args.small:
@@ -70,7 +72,7 @@ def main():
     vae = mm.VAE(**vae_kw)
     latent_cap = vae_kw["encoder_capacities"][2]
     attn_max_len = max(-(-latent_cap * 3 // (2 * b) // 128) * 128, 128)
-    unet = mm.UNet(channels=unet_ch, with_attn=True, group=32,
+    unet = mm.UNet(channels=unet_ch, with_attn=not args.no_attn, group=32,
                    remat=args.remat, attn_max_len=attn_max_len,
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),

@@ -155,6 +155,56 @@ def test_fused_select_params_vmem_budget():
     assert oh.select_params(1024, 1024, 27, 128, 256, jnp.bfloat16) is None
 
 
+def test_conv_schedule_real_widths():
+    # the reference UNet's wide levels must stay on the fused path via the
+    # band-split schedule, not fall back to XLA (diffusion.py:746-747
+    # channels 320/640/960; skip-cat inputs reach 1280)
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    assert oh.conv_schedule(640, 640, 27, 9, 128, 256, jnp.bfloat16) == "full"
+    assert oh.conv_schedule(960, 960, 27, 9, 128, 256, jnp.bfloat16) == (
+        "split")
+    assert oh.conv_schedule(1280, 640, 27, 9, 128, 256, jnp.bfloat16) == (
+        "split")
+    # a single band that itself exceeds VMEM refuses entirely
+    assert oh.conv_schedule(4096, 4096, 27, 9, 128, 256,
+                            jnp.bfloat16) is None
+
+
+def test_fused_band_split_matches_xla(rng, monkeypatch):
+    # shrink the VMEM budget so a cheap width exercises the band-split
+    # schedule (forward + both grads, incl. the split flipped-direction dF
+    # and the blocked fused dW) against the XLA path
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    monkeypatch.setattr(oh, "_VMEM_BUDGET", 2_000_000)
+    cin, cout = 64, 256
+    assert oh.conv_schedule(cin, cout, 27, 9, 128, 128,
+                            jnp.float32) == "split"
+    assert oh._dk_params(cin, cout, 27, 9, 128, 128) is not None
+    st = _sphere(rng, 200, 256, cin, 12, bsz=2)
+    spec = mt.ops.KernelSpec(3, 1, ndim=3)
+    nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+    kern = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.05)
+    gout = jnp.asarray(rng.randn(256, cout).astype(np.float32))
+    ref = jax.jit(lambda f, k: mt.ops.sparse_conv_apply(f, k, nbr))(
+        st.features, kern)
+    out = mt.ops.fused_sparse_conv(
+        st.features, kern, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    dref = jax.grad(lambda f, k: jnp.vdot(
+        mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+        st.features, kern)
+    dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+        f, k, st.grid, st.grid, spec, tile=128, tw=128,
+        compute_dtype=jnp.float32, interpret=True), gout),
+        argnums=(0, 1))(st.features, kern)
+    np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_conv_matches_xla(rng):
     n, cap, cin, cout = 100, 256, 8, 16
     coords = np.concatenate(
