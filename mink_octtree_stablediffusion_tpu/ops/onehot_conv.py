@@ -376,6 +376,22 @@ class _FusedStatic:
                             s_out=self.s_in, ring=self.ring)
 
 
+_BAND_SPLIT = False
+
+
+def use_band_split(flag: bool) -> None:
+    """Opt into the band-split schedule for over-budget wide layers.
+
+    Measured on v5e (256 rows x 960ch, the reference UNet's widest level):
+    the XLA gather path wins 0.41 vs 0.97 ms fwd+bwd — at the channel widths
+    that overflow the weight slab, gather rows are wide enough to stream
+    efficiently while the split schedule re-streams the slab per row tile —
+    so wide layers default to XLA and the split stays opt-in (read at trace
+    time)."""
+    global _BAND_SPLIT
+    _BAND_SPLIT = flag
+
+
 def conv_schedule(cin: int, cout: int, k_vol: int, group: int, tile: int,
                   tw: int, compute_dtype, nslots: int = 2) -> str | None:
     """Which fused schedule fits scoped VMEM: "full" (one kernel holding the
@@ -1000,8 +1016,9 @@ def _fused_bwd(static, res, g):
     k_pad = -(-k_vol // static.group) * static.group
     nslots = 3 if static.ring else 2
     nbr = None
-    if conv_schedule(cout, cin, k_vol, static.group, static.tile,
-                     static.tw, static.cd, nslots) is None:
+    sched_f = conv_schedule(cout, cin, k_vol, static.group, static.tile,
+                            static.tw, static.cd, nslots)
+    if sched_f is None or (sched_f == "split" and not _BAND_SPLIT):
         # flipped direction over VMEM budget: gather/scatter transpose
         nbr = _extract_nbr(static, ic, iv, oc, ov)
         dfeat, _ = _xla_backward(features, kernel, nbr, g)
@@ -1080,11 +1097,13 @@ def fused_sparse_conv(
         # (after delta-sorting), whose flat keys span ~2*S_y instead of the
         # kernel's ~2*S_x (k3 cube: 9, k2 transpose: 4) — the window unit
         group = max(spec.volume // spec.kernel_size[0], 1)
-    if conv_schedule(features.shape[1], kernel.shape[2], spec.volume, group,
-                     tile, tw, compute_dtype,
-                     3 if _SPILL_RING else 2) is None:
-        # even the per-band slab exceeds scoped VMEM (single very wide
-        # offset band): unfused XLA path
+    sched = conv_schedule(features.shape[1], kernel.shape[2], spec.volume,
+                          group, tile, tw, compute_dtype,
+                          3 if _SPILL_RING else 2)
+    if sched is None or (sched == "split" and not _BAND_SPLIT):
+        # over the VMEM budget: unfused XLA path (measured faster than the
+        # band-split schedule at the reference's wide layers — see
+        # `use_band_split`)
         from .conv import sparse_conv_apply
         from .neighbors import kernel_map
         nbr = kernel_map(in_grid, out_grid, spec)

@@ -22,6 +22,7 @@ import mink_octtree_stablediffusion_tpu as mt  # noqa: E402
 from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh  # noqa: E402
 
 print("backend:", jax.default_backend(), jax.devices()[0])
+oh.use_band_split(True)  # the schedule under test is opt-in
 rng = np.random.RandomState(0)
 
 

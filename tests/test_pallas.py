@@ -176,6 +176,7 @@ def test_fused_band_split_matches_xla(rng, monkeypatch):
     # and the blocked fused dW) against the XLA path
     from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
     monkeypatch.setattr(oh, "_VMEM_BUDGET", 2_000_000)
+    monkeypatch.setattr(oh, "_BAND_SPLIT", True)  # opt-in schedule
     cin, cout = 64, 256
     assert oh.conv_schedule(cin, cout, 27, 9, 128, 128,
                             jnp.float32) == "split"
