@@ -394,19 +394,50 @@ def use_band_split(flag: bool) -> None:
 
 def conv_schedule(cin: int, cout: int, k_vol: int, group: int, tile: int,
                   tw: int, compute_dtype, nslots: int = 2) -> str | None:
-    """Which fused schedule fits scoped VMEM: "full" (one kernel holding the
-    whole [K·CinP, co_t] weight slab), "split" (per-band kernels — very wide
-    layers like the reference UNet's 960-channel level, where even co_t=128
-    puts the full slab over budget), or None (fall back to the XLA path)."""
+    """Pick the fused schedule: "full" (one kernel holding the whole
+    [K·CinP, co_t] weight slab), "split" (per-band kernels), or None (XLA).
+
+    The weight slab re-streams once per row tile, so the split schedule —
+    whose per-band slab AND per-band gather accumulator are K/group times
+    smaller, allowing a much larger row tile — wins on weight-heavy layers
+    where the full schedule's tile was VMEM-shrunk (profiled on v5e: the
+    reference UNet's 640ch up-blocks at 4096 rows ran t=32, streaming
+    2.8 GB of weights per conv).  Rule: split when its row tile is ≥2× the
+    full schedule's (weight traffic at least halves; the band gathers and
+    window DMAs are identical in total, the extra cost is just one kernel
+    launch and one [N, Cout] sum per additional band).  Layers whose full
+    slab exceeds the budget at ANY blocking ("split-or-nothing", e.g.
+    960/1280ch) default to the XLA gather path instead — measured faster
+    there (wide gather rows stream efficiently; see `use_band_split`)."""
     k_pad = -(-k_vol // group) * group
-    if select_params(cin, cout, k_pad, tile, tw, compute_dtype,
-                     nslots) is not None:
+    p_full = select_params(cin, cout, k_pad, tile, tw, compute_dtype,
+                           nslots)
+    p_band = _band_params(cin, cout, group, tile, tw, compute_dtype,
+                          nslots) if k_vol > group else None
+    if p_full is not None:
+        # split only pays where the full slab VMEM-shrank the row tile
+        # (weight streaming ∝ row-tile count); narrow layers keep the full
+        # schedule — their bound is the gather, not the slab
+        if (p_band is not None and p_full[0] < tile and
+                p_band[0] >= 2 * p_full[0]):
+            return "split"
         return "full"
-    if (k_vol > group and
-            select_params(cin, cout, group, tile, tw, compute_dtype,
-                          nslots) is not None):
+    if p_band is not None and _BAND_SPLIT:
         return "split"
     return None
+
+
+def _band_params(cin: int, cout: int, group: int, tile: int, tw: int,
+                 compute_dtype, nslots: int = 2) -> tuple | None:
+    """Blocking for one band of the split schedule.  The per-band slab and
+    gather accumulator are K/group times smaller, so a LARGER row tile than
+    requested usually fits — and weight traffic scales with the number of
+    row tiles, so the biggest fitting tile wins on weight-heavy layers."""
+    for t in (4 * tile, 2 * tile, tile):
+        p = select_params(cin, cout, group, t, tw, compute_dtype, nslots)
+        if p is not None and p[0] == t:
+            return p
+    return select_params(cin, cout, group, tile, tw, compute_dtype, nslots)
 
 
 def _flat_geometry(static):
@@ -432,11 +463,17 @@ def _fused_impl_split(static, features, kernel, in_coords, in_valid,
     offs_abs = np.asarray(static.offs, np.int64)
     perm = _offset_perm(offs_abs, s_in, flat_strides)
     g = static.group
+    # the per-band blocking usually affords a larger row tile than the
+    # caller requested — fewer row tiles = proportionally less weight-slab
+    # streaming (see _band_params)
+    p = _band_params(features.shape[1], kernel.shape[2], g, static.tile,
+                     static.tw, static.cd, 3 if static.ring else 2)
+    band_tile = p[0] if p is not None else static.tile
     out = None
     for i in range(0, len(perm), g):
         chunk = [int(j) for j in perm[i:i + g]]
         sub = _FusedStatic([list(static.offs[j]) for j in chunk],
-                           static.s_in, static.extent, static.tile,
+                           static.s_in, static.extent, band_tile,
                            static.tw, g, static.cd, static.interpret,
                            s_out=static.s_out, ring=static.ring)
         o = _fused_impl(sub, features,
@@ -462,14 +499,15 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     sep, cinp = _key_layout(cin)
     nslots = 3 if static.ring else 2
     k_pad_0 = -(-k_vol // group) * group
-    params = select_params(cin, cout, k_pad_0, tile, tw, cd, nslots)
-    if params is None:
-        assert conv_schedule(cin, cout, k_vol, group, tile, tw, cd,
-                             nslots) == "split", (
-            "fused conv VMEM budget exceeded — fused_sparse_conv should "
-            "have fallen back to the XLA path")
+    if (k_vol > group and
+            conv_schedule(cin, cout, k_vol, group, tile, tw, cd,
+                          nslots) == "split"):
         return _fused_impl_split(static, features, kernel, in_coords,
                                  in_valid, out_coords, out_valid)
+    params = select_params(cin, cout, k_pad_0, tile, tw, cd, nslots)
+    assert params is not None, (
+        "fused conv VMEM budget exceeded — fused_sparse_conv should have "
+        "fallen back to the XLA path")
     tile, tw, co_t = params
     nt = -(-n_out // tile)
     n_pad = nt * tile
@@ -733,7 +771,7 @@ def _fused_fwd(static, features, kernel, in_coords, in_valid, out_coords,
 
 
 def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
-               tw: int, nslots: int = 2):
+               tw: int, nslots: int = 2, compute_dtype=jnp.bfloat16):
     """Blocking of the fused dW kernel: the fp32 accumulator is tiled over a
     (k-group, cout) grid so it fits scoped VMEM at ANY layer width (wide
     layers previously fell back to the XLA gather transpose — the measured
@@ -749,7 +787,8 @@ def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
     def est(t, w, c, gp):
         # accumulator pair + windows (scratch counts twice — see
         # select_params) + g block pair + query block pair
-        fwb = 4 if not sep else 4  # fp32 inline window / cd<=4 sep window
+        # inline layout DMAs fp32 windows; sep windows ride compute dtype
+        fwb = 4 if not sep else jnp.dtype(compute_dtype).itemsize
         return (2 * gp * group * cinp * c * 4 +
                 2 * nslots * w * cinp * fwb +
                 (2 * nslots * w * 128 * 4 if sep else 0) +
@@ -760,8 +799,12 @@ def _dk_params(cin: int, cout: int, k_pad: int, group: int, tile: int,
     tiles = [t for t in (tile, tile // 2)
              if t >= 32 and (group * t) % 128 == 0] or [128]
     tws = [w for w in (tw, tw // 2) if w >= 128] or [128]
+    # cout tiles must DIVIDE the padded width — a non-dividing tile pads the
+    # accumulator rows past cout (640 -> 768 at c=256: 20% wasted MXU work,
+    # measured a net step regression)
     cos = [c for c in (cout_pad, 512, 384, 256, 128)
-           if c == cout_pad or (c < cout_pad and c % 128 == 0)]
+           if c == cout_pad or
+           (c < cout_pad and c % 128 == 0 and cout_pad % c == 0)]
     # fewest window passes first: maximize gpp, then co_t, then row tile
     gpps = [g for g in (n_groups, n_groups // 2, 2, 1)
             if 1 <= g <= n_groups and n_groups % g == 0]
@@ -798,7 +841,7 @@ def _dkernel_fused(static, features, g, in_coords, in_valid, out_coords,
     coutp = max(_round_up(cout, 128), 128)
     k_pad0 = -(-k_vol // group) * group
     params = _dk_params(cin, cout, k_pad0, group, static.tile, static.tw,
-                        nslots)
+                        nslots, cd)
     assert params is not None, "dW blocking infeasible — caller gates this"
     tile, tw, co_t, gpp = params
     nco = coutp // co_t if coutp % co_t == 0 else -(-coutp // co_t)
@@ -1016,9 +1059,8 @@ def _fused_bwd(static, res, g):
     k_pad = -(-k_vol // static.group) * static.group
     nslots = 3 if static.ring else 2
     nbr = None
-    sched_f = conv_schedule(cout, cin, k_vol, static.group, static.tile,
-                            static.tw, static.cd, nslots)
-    if sched_f is None or (sched_f == "split" and not _BAND_SPLIT):
+    if conv_schedule(cout, cin, k_vol, static.group, static.tile,
+                     static.tw, static.cd, nslots) is None:
         # flipped direction over VMEM budget: gather/scatter transpose
         nbr = _extract_nbr(static, ic, iv, oc, ov)
         dfeat, _ = _xla_backward(features, kernel, nbr, g)
@@ -1029,7 +1071,7 @@ def _fused_bwd(static, res, g):
         dfeat = _fused_impl(static.flipped(), g.astype(features.dtype),
                             jnp.swapaxes(kernel, 1, 2), oc, ov, ic, iv)
     if _dk_params(cin, cout, k_pad, static.group, static.tile,
-                  static.tw, nslots) is not None:
+                  static.tw, nslots, static.cd) is not None:
         dkernel = _dkernel_fused(static, features, g, ic, iv, oc, ov,
                                  k_vol, cin, cout)
     else:
@@ -1097,13 +1139,12 @@ def fused_sparse_conv(
         # (after delta-sorting), whose flat keys span ~2*S_y instead of the
         # kernel's ~2*S_x (k3 cube: 9, k2 transpose: 4) — the window unit
         group = max(spec.volume // spec.kernel_size[0], 1)
-    sched = conv_schedule(features.shape[1], kernel.shape[2], spec.volume,
-                          group, tile, tw, compute_dtype,
-                          3 if _SPILL_RING else 2)
-    if sched is None or (sched == "split" and not _BAND_SPLIT):
+    if conv_schedule(features.shape[1], kernel.shape[2], spec.volume,
+                     group, tile, tw, compute_dtype,
+                     3 if _SPILL_RING else 2) is None:
         # over the VMEM budget: unfused XLA path (measured faster than the
-        # band-split schedule at the reference's wide layers — see
-        # `use_band_split`)
+        # band-split schedule at the reference's over-budget wide layers —
+        # see `use_band_split`)
         from .conv import sparse_conv_apply
         from .neighbors import kernel_map
         nbr = kernel_map(in_grid, out_grid, spec)

@@ -79,4 +79,8 @@ def check(cin, cout, tag, ext=8, cap=256, n=80, bsz=4):
 check(960, 960, "960->960 (UNet level 3 / mid)")
 check(1280, 640, "1280->640 (skip-cat input)")
 check(960, 320, "960->320 (up transition)")
+oh.use_band_split(False)
+# default-routed split widths (full slab fits but VMEM-shrinks the tile)
+check(640, 640, "640->640 (UNet level 2, default split)")
+check(512, 512, "512->512 (VAE wide level, default split)")
 print("ALL OK")

@@ -156,18 +156,30 @@ def test_fused_select_params_vmem_budget():
 
 
 def test_conv_schedule_real_widths():
-    # the reference UNet's wide levels must stay on the fused path via the
-    # band-split schedule, not fall back to XLA (diffusion.py:746-747
-    # channels 320/640/960; skip-cat inputs reach 1280)
+    # weight-heavy mid-width layers (the UNet's 512/640ch levels) switch to
+    # the band-split schedule (full-slab blocking had VMEM-shrunk their row
+    # tile, re-streaming the slab per tile); narrow layers keep the full
+    # schedule; over-budget widths (960/1280) default to the XLA path
+    # (opt-in split via use_band_split)
     from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
-    assert oh.conv_schedule(640, 640, 27, 9, 128, 256, jnp.bfloat16) == "full"
-    assert oh.conv_schedule(960, 960, 27, 9, 128, 256, jnp.bfloat16) == (
-        "split")
-    assert oh.conv_schedule(1280, 640, 27, 9, 128, 256, jnp.bfloat16) == (
-        "split")
-    # a single band that itself exceeds VMEM refuses entirely
-    assert oh.conv_schedule(4096, 4096, 27, 9, 128, 256,
-                            jnp.bfloat16) is None
+    assert oh.conv_schedule(32, 32, 27, 9, 128, 256, jnp.bfloat16) == "full"
+    assert oh.conv_schedule(256, 256, 27, 9, 128, 256,
+                            jnp.bfloat16) == "full"
+    for cin, cout in ((512, 512), (640, 640)):
+        assert oh.conv_schedule(cin, cout, 27, 9, 128, 256,
+                                jnp.bfloat16) == "split"
+    for cin, cout in ((960, 960), (1280, 640), (4096, 4096)):
+        assert oh.conv_schedule(cin, cout, 27, 9, 128, 256,
+                                jnp.bfloat16) is None
+    try:
+        oh.use_band_split(True)
+        assert oh.conv_schedule(960, 960, 27, 9, 128, 256,
+                                jnp.bfloat16) == "split"
+        # a single band that itself exceeds VMEM refuses entirely
+        assert oh.conv_schedule(4096, 4096, 27, 9, 128, 256,
+                                jnp.bfloat16) is None
+    finally:
+        oh.use_band_split(False)
 
 
 def test_fused_band_split_matches_xla(rng, monkeypatch):
