@@ -104,6 +104,51 @@ def _key_layout(cin: int):
     return cinp_inline > cinp_plain, cinp_plain
 
 
+_PACKED = False
+
+
+def use_packed_window(flag: bool) -> None:
+    """Toggle the packed narrow-channel window layout (for A/B benchmarks)."""
+    global _PACKED
+    _PACKED = flag
+
+
+def _packed_layout(cin: int):
+    """(cs, P, csg) of the packed narrow-channel layout, or None.
+
+    Narrow layers (cin ≤ 63 — the octree decoder's finest levels and the
+    3-channel input conv) waste the mandatory 128-lane window: the inline
+    layout DMAs fp32 ``[TW, 128]`` rows with only cin+1 lanes used (a 4×
+    bandwidth tax at 32 channels, 32× at 3).  Instead, P voxels ride ONE
+    window row, each in a cs = roundup(cin+1, 8)-lane slot
+    ``[feat_0..cin-1, key, pad]``, plus one constant-1.0 TAG lane at
+    ``p*cs`` (so p = (128-1) // cs).  Window DMA bytes, one-hot
+    gather-matmul FLOPs and the output-GEMM contraction (the gather
+    accumulator keeps csg = roundup(cin, 8) lanes per offset instead of
+    128) all shrink ~P×.  The per-slot one-hots are disjoint (keys are
+    unique), so instead of 0/1 the slot-s one-hot carries the value 2^s:
+    ONE matmul then yields the matched packed row's lanes scaled by 2^s
+    AND the slot id itself on the tag lane (2^s·1.0); the slot's feature
+    lanes are selected and unscaled by the exact power 2^-s — no second
+    matmul, no lane→sublane transpose.
+
+    On-chip verdict (v5e, finest level n=90k/cap=131k 32->32 b=4, bf16):
+    exact vs the XLA path and bit-identical to the inline layout
+    (scripts/check_packed_tpu.py ALL OK), but SLOWER — fwd 19.6 vs 12.2
+    ms, dF 17.0 vs 8.9, dW ~equal: the P× window-byte saving is paid back
+    as P compare+cast mask builds over [TW, group*T] plus group·P unscale
+    selects per window chunk, and the finest level has VPU headroom but
+    no bandwidth headroom only in the window *span*, not its width.
+    Stays OFF by default; opt-in via `use_packed_window(True)`."""
+    if not _PACKED:
+        return None
+    cs = _round_up(cin + 1, 8)
+    p = (128 - 1) // cs
+    if p < 2:
+        return None
+    return cs, p, _round_up(cin, 8)
+
+
 # 13.5M: 16M scoped-VMEM limit minus ~2.5M empirical allocator overhead /
 # alignment (module-level so tests can shrink it to exercise the band-split
 # schedule at cheap widths)
@@ -125,7 +170,10 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
     to the unfused XLA path)."""
     wbytes = jnp.dtype(compute_dtype).itemsize
     sep, cinp = _key_layout(cin)
-    fwbytes = wbytes if sep else 4  # inline layout DMAs fp32 windows
+    packed = _packed_layout(cin)
+    if packed is not None:
+        cinp = packed[2]  # gcat/weight lanes per offset = csg
+    fwbytes = wbytes if sep else 4  # inline/packed layouts DMA fp32 windows
 
     def est(t, w, c):
         # gcat + feature window + key window (sep only) + weight block
@@ -133,8 +181,9 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
         # counts scratch buffers TWICE (measured: a 3.5M gcat showed up as
         # ~7M — a 512-wide layer overflowed by exactly that margin), hence
         # the 2x on gcat and 2*nslots (declared slots x 2) on the windows.
+        wlanes = 128 if packed is not None else cinp
         return (2 * t * k_pad * cinp * wbytes +
-                2 * nslots * w * cinp * fwbytes +
+                2 * nslots * w * wlanes * fwbytes +
                 (2 * nslots * w * 128 * 4 if sep else 0) +
                 2 * k_pad * cinp * c * wbytes + 2 * t * c * 4 +
                 2 * k_pad * t * 4)
@@ -153,13 +202,27 @@ def select_params(cin: int, cout: int, k_pad: int, tile: int, tw: int,
 
 
 def _window_arrays(features, in_keys, tw: int, cin: int, cinp: int,
-                   sep: bool, cd):
+                   sep: bool, cd, packed=None):
     """(f_aug, k_rep): HBM-side arrays for the window DMAs (see
     `_key_layout`).  Valid keys < 2^30 (flat-key bound); padding clips to
     exactly 2^30 so it can never equal a query key (and, inline, bitcasts
     to a finite float — 0·key stays 0 in the gather matmul)."""
     n = features.shape[0]
     keys = jnp.minimum(in_keys, np.int32(2 ** 30))
+    if packed is not None:
+        cs, p, _ = packed
+        nrow = -(-n // p) + tw
+        nv = nrow * p
+        fv = jnp.zeros((nv, cs), jnp.float32)
+        fv = fv.at[:n, :cin].set(features.astype(jnp.float32))
+        kpad = jnp.pad(keys, (0, nv - n), constant_values=np.int32(2 ** 30))
+        fv = fv.at[:, cin].set(jax.lax.bitcast_convert_type(
+            kpad, jnp.float32))
+        f_aug = jnp.pad(fv.reshape(nrow, p * cs),
+                        ((0, 0), (0, 128 - p * cs)))
+        # constant-1.0 tag lane: the gather matmul lands 2^slot there
+        f_aug = f_aug.at[:, p * cs].set(1.0)
+        return f_aug, None
     if sep:
         f_aug = jnp.pad(features.astype(cd), ((0, tw), (0, cinp - cin)))
         k_rep = jnp.pad(jnp.pad(keys[:, None], ((0, tw), (0, 0)),
@@ -190,7 +253,7 @@ def _offset_perm(offs_abs: np.ndarray, s_in: np.ndarray,
 
 
 def _group_bounds(qk: jnp.ndarray, nt: int, tile: int, n_groups: int,
-                  group: int, in_keys: jnp.ndarray, tw: int):
+                  group: int, in_keys: jnp.ndarray, tw: int, p: int = 1):
     """Per-(row tile, offset group) window bounds over the sorted keys.
 
     Returns (lo, nch) int32 FLAT [nt * n_groups] (index ``t*n_groups + g``):
@@ -207,6 +270,10 @@ def _group_bounds(qk: jnp.ndarray, nt: int, tile: int, n_groups: int,
     anyv = jnp.any(qv, axis=(1, 3)).reshape(-1)
     lo = jnp.searchsorted(in_keys, qmin.reshape(-1), side="left")
     hi = jnp.searchsorted(in_keys, qmax.reshape(-1), side="right")
+    if p > 1:
+        # window rows are PACKED rows of p voxels (see `_packed_layout`)
+        lo = lo.astype(jnp.int32) // p
+        hi = -(-hi.astype(jnp.int32) // p)
     lo = jnp.where(anyv, (lo.astype(jnp.int32) // 8) * 8, 0)
     nch = jnp.where(anyv,
                     (jnp.maximum(hi.astype(jnp.int32) - lo, 1) - 1) // tw + 1,
@@ -497,6 +564,11 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     n_out = out_coords.shape[0]
     cd = static.cd
     sep, cinp = _key_layout(cin)
+    packed = _packed_layout(cin)
+    if packed is not None:
+        sep = False
+        cs, pk, csg = packed
+        cinp = csg  # gcat/weight lanes per offset
     nslots = 3 if static.ring else 2
     k_pad_0 = -(-k_vol // group) * group
     if (k_vol > group and
@@ -553,9 +625,11 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
     # --- per-(tile, group) window bounds over the sorted keys ---
     in_keys = flat_cell_key(in_coords, in_valid, static.s_in,
                             static.extent)  # sorted; INT32_MAX padding
-    lo, nch = _group_bounds(qk, nt, tile, n_groups, group, in_keys, tw)
+    lo, nch = _group_bounds(qk, nt, tile, n_groups, group, in_keys, tw,
+                            packed[1] if packed is not None else 1)
 
-    f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd)
+    f_aug, k_rep = _window_arrays(features, in_keys, tw, cin, cinp, sep, cd,
+                                  packed)
     # cout tiling (co_t chosen above): the cout grid dim is inner, so the
     # gather accumulator `gcat` is computed once per row tile and reused
     # across weight tiles
@@ -600,9 +674,48 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
                 fw_f32[:, cinp - 1:cinp], jnp.int32)
 
         def compute(g, s, first: bool):
-            fw, keys_w = window(s)
             sl_q = slice(g * group * tile, (g + 1) * group * tile)
             qg = qk_ref[0, 0:1, sl_q]  # [1, group*T]
+            if packed is not None:
+                # slot-tagged one-hot: slot sp contributes 2^sp (disjoint
+                # across slots — keys are unique), so one matmul returns
+                # the matched row scaled by 2^slot with the slot id on the
+                # tag lane; unscaling by 2^-slot is exact
+                one = jnp.dtype(cd).type
+                fw_f32 = fwin2[s]  # [TW, 128] fp32
+                fw = fw_f32.astype(cd)
+                scat = None
+                for sp in range(pk):
+                    keys_s = jax.lax.bitcast_convert_type(
+                        fw_f32[:, sp * cs + cin:sp * cs + cin + 1],
+                        jnp.int32)
+                    # cast+multiply, not select: Mosaic can't relayout the
+                    # [TW, group*T] i1 mask for a bf16 select ((8,128) ->
+                    # replicated (16,128)), but casts lower fine (the
+                    # inline path's one-hot does the same)
+                    m = (keys_s == qg).astype(cd) * one(2.0 ** sp)
+                    scat = m if scat is None else scat + m
+                gfull = jax.lax.dot_general(
+                    scat, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [group*T, 128]
+                for j in range(group):
+                    gj = gfull[j * tile:(j + 1) * tile]  # [T, 128]
+                    sc = gj[:, pk * cs:pk * cs + 1]  # [T, 1] == 2^slot
+                    acc = None
+                    for sp in range(pk):
+                        sel = ((sc == np.float32(2.0 ** sp)).astype(
+                            jnp.float32) * np.float32(2.0 ** -sp))
+                        v = gj[:, sp * cs:sp * cs + csg] * sel
+                        acc = v if acc is None else acc + v
+                    sl_c = slice((g * group + j) * csg,
+                                 (g * group + j + 1) * csg)
+                    vj = acc.astype(cd)
+                    if first:
+                        gcat[:, sl_c] = vj
+                    else:
+                        gcat[:, sl_c] = gcat[:, sl_c] + vj
+                return
+            fw, keys_w = window(s)
             oht = (keys_w == qg).astype(cd)  # [TW, group*T]
             gg_ = jax.lax.dot_general(
                 oht, fw, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -707,7 +820,9 @@ def _fused_impl(static, features, kernel, in_coords, in_valid, out_coords,
         out_specs=pl.BlockSpec((tile, co_t), lambda t, co, lo, nch: (t, co),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nslots, tw, cinp), fwin_dtype),
+            pltpu.VMEM(
+                (nslots, tw, 128 if packed is not None else cinp),
+                fwin_dtype),
             *extra_scratch,
             pltpu.VMEM((tile, k_pad * cinp), cd),
             pltpu.SemaphoreType.DMA(sem_shape),

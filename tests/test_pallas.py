@@ -122,10 +122,12 @@ def test_fused_onehot_conv_grads_strided_and_transpose(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_fused_onehot_conv_cout_tiled(rng):
+def test_fused_onehot_conv_cout_tiled(rng, monkeypatch):
     # narrow cin + very wide cout forces the cout-block grid dimension
-    # (weight pair over the VMEM budget) while staying cheap in interpret
+    # (weight pair over the VMEM budget) while staying cheap in interpret;
+    # pinned budget keeps the cout grid exercised regardless of layout.
     from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    monkeypatch.setattr(oh, "_VMEM_BUDGET", 2 ** 22)
     assert oh.select_params(3, 2048, 27, 128, 256, jnp.bfloat16)[2] < 2048
     st = _sphere(rng, 150, 256, 3, 10)
     spec = mt.ops.KernelSpec(3, 1, ndim=3)
@@ -138,6 +140,33 @@ def test_fused_onehot_conv_cout_tiled(rng):
         compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_fused_onehot_conv_packed_layout(rng, monkeypatch):
+    # opt-in packed narrow-channel window layout (off by default — see the
+    # on-chip verdict in `_packed_layout`): fwd + grads must match the XLA
+    # path at a narrow width, including a cin not divisible by 8
+    from mink_octtree_stablediffusion_tpu.ops import onehot_conv as oh
+    monkeypatch.setattr(oh, "_PACKED", True)
+    for cin, cout in ((3, 16), (12, 8)):
+        assert oh._packed_layout(cin) is not None
+        st = _sphere(rng, 250, 512, cin, 12)
+        spec = mt.ops.KernelSpec(3, 1, ndim=3)
+        nbr = jax.jit(lambda g: mt.ops.kernel_map(g, g, spec))(st.grid)
+        kern = jnp.asarray(
+            rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+        gout = jnp.asarray(rng.randn(512, cout).astype(np.float32))
+        dref = jax.grad(lambda f, k: jnp.vdot(
+            mt.ops.sparse_conv_apply(f, k, nbr), gout), argnums=(0, 1))(
+            st.features, kern)
+        dfus = jax.grad(lambda f, k: jnp.vdot(mt.ops.fused_sparse_conv(
+            f, k, st.grid, st.grid, spec, tile=128, tw=128,
+            compute_dtype=jnp.float32, interpret=True), gout),
+            argnums=(0, 1))(st.features, kern)
+        np.testing.assert_allclose(np.asarray(dfus[0]), np.asarray(dref[0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dfus[1]), np.asarray(dref[1]),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_fused_select_params_vmem_budget():
