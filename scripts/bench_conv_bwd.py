@@ -20,9 +20,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 import mink_octtree_stablediffusion_tpu as mt  # noqa: E402
 
 import os  # noqa: E402
-if os.environ.get("PACKED") == "0":  # A/B the packed narrow-channel layout
+if os.environ.get("PACKED"):  # A/B the packed narrow-channel layout
     from mink_octtree_stablediffusion_tpu.ops import onehot_conv as _oh
-    _oh.use_packed_window(False)
+    _oh.use_packed_window(os.environ["PACKED"] != "0")
 
 SHAPES = [(1500, 2048, 512, 512, 4), (6000, 8192, 512, 512, 4),
           (24000, 32768, 128, 128, 4), (90000, 131072, 32, 32, 4)]
