@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ..tensor import SparseTensor, cat
 from ..nn.blocks import ResNetStack, remat_stack
@@ -75,6 +76,29 @@ class UNet(nn.Module):
         temb = timesteps_embedding(timesteps, ch[0])
         temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb)
 
+        # Clamp every level capacity to the DENSE CELL BOUND of its stride:
+        # a bounded grid at stride s holds at most B·prod(ceil(extent/s))
+        # distinct cells, so any larger buffer is guaranteed padding that
+        # every conv/norm/attention in the level still pays for.  At the
+        # UNet's coarse latent strides this bound is tiny (stride-32 over a
+        # 64³ extent: 8 cells/instance) while the naive `down_cap·8`
+        # up-capacities were 16-128× it — profiled at 67% of the train
+        # step in up-block convs running >90% padding rows.
+        def cap_bound(level: int) -> Optional[int]:
+            if x.grid.extent is None:
+                return None
+            s = np.asarray(x.grid.stride, np.int64) << level
+            cells = int(np.prod([-(-int(e) // int(si))
+                                 for e, si in zip(x.grid.extent, s)]))
+            return max(x.grid.batch_size * cells, 8)
+
+        def clamp(cap: int, level: int) -> int:
+            b = cap_bound(level)
+            return cap if b is None else min(cap, -(-b // 128) * 128)
+
+        down_caps = [clamp(c, i + 1)
+                     for i, c in enumerate(self.down_capacities)]
+
         x = SparseConv(ch[0], kernel_size=3, name="conv_in")(x)
 
         def run(blocks, h, out_grid=None):
@@ -89,24 +113,28 @@ class UNet(nn.Module):
             return h
 
         out_s1 = run(self._group(ch[1], "downsample", 2, self.with_attn,
-                                 self.down_capacities[0], "block1"), x)
+                                 down_caps[0], "block1"), x)
         out_s2 = run(self._group(ch[2], "downsample", 2, self.with_attn,
-                                 self.down_capacities[1], "block2"), out_s1)
+                                 down_caps[1], "block2"), out_s1)
         out_s3 = run(self._group(ch[3], "downsample", 2, False,
-                                 self.down_capacities[2], "block3"), out_s2)
+                                 down_caps[2], "block3"), out_s2)
         out = run(self._group(ch[3], None, 2, self.with_attn, None,
                               "res_mid"), out_s3)
 
+        # up capacities: generative 2× upsample grows ≤8 children per voxel,
+        # clamped to the TARGET level's dense cell bound (block3_tr lands on
+        # the level-2 grid, block2_tr on level 1, block1_tr on level 0)
         up_caps = [c * self.up_capacity_factor for c in self.down_capacities]
-        out = run(self._group(ch[2], "upsample", 3, False, up_caps[1],
-                              "block3_tr"), out, out_grid=out_s2.grid)
+        out = run(self._group(ch[2], "upsample", 3, False,
+                              clamp(up_caps[1], 2), "block3_tr"),
+                  out, out_grid=out_s2.grid)
         out = cat(out, out_s2)
         out = run(self._group(ch[1], "upsample", 3, self.with_attn,
-                              up_caps[0], "block2_tr"), out,
+                              clamp(up_caps[0], 1), "block2_tr"), out,
                   out_grid=out_s1.grid)
         out = cat(out, out_s1)
         out = run(self._group(ch[0], "upsample", 3, self.with_attn,
-                              x.capacity * self.up_capacity_factor,
+                              clamp(x.capacity * self.up_capacity_factor, 0),
                               "block1_tr"), out, out_grid=x.grid)
         out = SparseConv(self.out_channels or ch[0], kernel_size=3,
                          name="conv_out")(out)
