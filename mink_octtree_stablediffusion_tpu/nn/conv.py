@@ -35,7 +35,8 @@ from ..ops import (
     sparse_conv_apply,
     stride_grid,
 )
-from ..ops.dense_conv import dense_conv_applicable, dense_conv_apply
+from ..ops.dense_conv import (dense_conv_applicable, dense_conv_apply,
+                              dense_no_growth_preferred)
 from ..ops.conv import default_compute_dtype
 from ..ops import onehot_conv as _oh
 from ..tensor import SparseTensor
@@ -93,6 +94,13 @@ class SparseConv(nn.Module):
             else:
                 out_grid = stride_grid(x.grid, spec.stride,
                                        self.out_capacity or x.capacity)
+        # no-growth densify: at coarse strides the dense cell count is no
+        # larger than the sparse buffer, so scatter->lax.conv->gather does
+        # strictly less work than any sparse schedule (ops.dense_conv)
+        if out_grid is x.grid and dense_no_growth_preferred(spec, x.grid):
+            out = dense_conv_apply(x.features, kernel, x.grid, spec, bias,
+                                   compute_dtype=cd)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         # fused Pallas one-hot conv: kernel-map search + gather + GEMM in one
         # kernel — the TPU fast path for bounded grids (ops.onehot_conv)
         if _oh.enabled(x.grid):

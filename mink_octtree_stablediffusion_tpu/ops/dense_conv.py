@@ -35,17 +35,28 @@ DENSE_CONV_MAX_CELLS = 4_194_304
 # for very high occupancy / wide channels — enable per-model to test.
 DENSE_CONV_ENABLED = False
 
+# "no-growth" dense routing: when the dense cell count is no larger than the
+# sparse buffer's capacity, densifying cannot grow the working set, the
+# lax.conv is pure MXU work on a SMALLER array than any sparse schedule
+# touches, and the scatter/gather bracket is one cheap addressing pass.
+# This catches the coarse levels of the diffusion UNet (stride-32 over a
+# 64³ extent: 8 cells/instance vs 128-row buffers) whose sparse gather
+# convs were pure overhead.  On by default; independent of the opt-in
+# DENSE_CONV_ENABLED switch (which forces dense at ANY occupancy).
+DENSE_NO_GROWTH = True
+
 
 def enable_dense_conv(flag: bool) -> None:
     global DENSE_CONV_ENABLED
     DENSE_CONV_ENABLED = flag
 
 
-def dense_conv_applicable(spec: KernelSpec, grid: SparseGrid,
-                          cin: int, cout: int,
-                          max_cells: Optional[int] = None) -> bool:
-    if not DENSE_CONV_ENABLED:
-        return False
+def enable_dense_no_growth(flag: bool) -> None:
+    global DENSE_NO_GROWTH
+    DENSE_NO_GROWTH = flag
+
+
+def _dense_shape_ok(spec: KernelSpec, grid: SparseGrid) -> bool:
     if grid.extent is None or spec.transpose:
         return False
     if spec.region_type != RegionType.HYPER_CUBE:
@@ -54,11 +65,35 @@ def dense_conv_applicable(spec: KernelSpec, grid: SparseGrid,
         return False
     if any(k % 2 == 0 for k in spec.kernel_size):
         return False
+    return True
+
+
+def _total_cells(grid: SparseGrid) -> int:
     cells = [int(np.ceil(e / s)) for e, s in zip(grid.extent, grid.stride)]
-    total = grid.batch_size * int(np.prod(cells))
+    return grid.batch_size * int(np.prod(cells))
+
+
+def dense_conv_applicable(spec: KernelSpec, grid: SparseGrid,
+                          cin: int, cout: int,
+                          max_cells: Optional[int] = None) -> bool:
+    if not DENSE_CONV_ENABLED:
+        return False
+    if not _dense_shape_ok(spec, grid):
+        return False
+    total = _total_cells(grid)
     budget = max_cells if max_cells is not None else DENSE_CONV_MAX_CELLS
     # weight the budget by channel width so wide layers stay gather-based
     return total * max(cin, cout) <= budget * 32
+
+
+def dense_no_growth_preferred(spec: KernelSpec, grid: SparseGrid) -> bool:
+    """True when densifying cannot grow the buffer (cells ≤ capacity), so
+    the dense path strictly dominates any sparse schedule for this conv."""
+    if not DENSE_NO_GROWTH:
+        return False
+    if not _dense_shape_ok(spec, grid):
+        return False
+    return _total_cells(grid) <= grid.coords.shape[0]
 
 
 def dense_conv_apply(
