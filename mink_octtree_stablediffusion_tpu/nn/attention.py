@@ -86,7 +86,20 @@ class SparseTransformer(nn.Module):
     def __call__(self, x: SparseTensor,
                  encoder_hidden_state: Optional[jnp.ndarray] = None
                  ) -> SparseTensor:
-        packed, mask, pos = x.decomposed_features(self.max_len)
+        # clamp the pack length to this grid's static per-instance bounds:
+        # an instance holds at most prod(ceil(extent/stride)) cells (and
+        # never more than the whole buffer), so padding past that is
+        # guaranteed-masked work — attention is O(L²), and models pass one
+        # max_len for all levels (at a 64³-extent UNet's stride-32 level
+        # that was 768-padding for ≤8 real tokens).  No parameter shapes
+        # depend on L (projections are per-channel, positional encoding is
+        # coordinate-based), so the clamp is purely a speed lever.
+        max_len = max(min(self.max_len, x.capacity), 1)
+        if x.grid.extent is not None:
+            cells = int(np.prod([-(-int(e) // int(s)) for e, s in
+                                 zip(x.grid.extent, x.grid.stride)]))
+            max_len = max(min(max_len, -(-cells // 128) * 128), 1)
+        packed, mask, pos = x.decomposed_features(max_len)
         out = SparseAttention(
             num_heads=self.num_heads,
             cross_attention_dim=self.cross_attention_dim,
