@@ -36,7 +36,9 @@ from ..ops import (
     stride_grid,
 )
 from ..ops.dense_conv import (dense_conv_applicable, dense_conv_apply,
-                              dense_no_growth_preferred)
+                              dense_conv_general_apply,
+                              dense_no_growth_preferred,
+                              dense_no_growth_preferred2)
 from ..ops.conv import default_compute_dtype
 from ..ops import onehot_conv as _oh
 from ..tensor import SparseTensor
@@ -101,6 +103,12 @@ class SparseConv(nn.Module):
             out = dense_conv_apply(x.features, kernel, x.grid, spec, bias,
                                    compute_dtype=cd)
             return SparseTensor(grid=out_grid, features=out).mask_features()
+        if (out_grid is not x.grid and
+                dense_no_growth_preferred2(spec, x.grid, out_grid)):
+            out = dense_conv_general_apply(x.features, kernel, x.grid,
+                                           out_grid, spec, bias,
+                                           compute_dtype=cd)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         # fused Pallas one-hot conv: kernel-map search + gather + GEMM in one
         # kernel — the TPU fast path for bounded grids (ops.onehot_conv)
         if _oh.enabled(x.grid):
@@ -146,6 +154,11 @@ class SparseConvTranspose(nn.Module):
         cd = self.dtype or default_compute_dtype()
         bias = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
                 if self.use_bias else None)
+        if dense_no_growth_preferred2(spec, x.grid, out_grid):
+            out = dense_conv_general_apply(x.features, kernel, x.grid,
+                                           out_grid, spec, bias,
+                                           compute_dtype=cd)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         if _oh.enabled(x.grid):
             out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
                                         spec, bias, compute_dtype=cd)
@@ -182,6 +195,11 @@ class GenerativeConvTranspose(nn.Module):
         out_stride = spec.out_stride(x.tensor_stride)
         offs = spec.absolute_offsets(x.tensor_stride)
         out_grid = expand_grid(x.grid, offs, out_stride, self.out_capacity)
+        if dense_no_growth_preferred2(spec, x.grid, out_grid):
+            out = dense_conv_general_apply(x.features, kernel, x.grid,
+                                           out_grid, spec, bias,
+                                           compute_dtype=cd)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
         if _oh.enabled(x.grid):
             out = _oh.fused_sparse_conv(x.features, kernel, x.grid, out_grid,
                                         spec, bias, compute_dtype=cd)

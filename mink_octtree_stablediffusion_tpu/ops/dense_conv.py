@@ -96,6 +96,135 @@ def dense_no_growth_preferred(spec: KernelSpec, grid: SparseGrid) -> bool:
     return _total_cells(grid) <= grid.coords.shape[0]
 
 
+def _cells_of(grid: SparseGrid) -> list:
+    return [int(np.ceil(e / s)) for e, s in zip(grid.extent, grid.stride)]
+
+
+def _densify(features: jnp.ndarray, grid: SparseGrid, cells, cd):
+    """[B, *cells, C] dense grid from valid rows (invalid rows dropped);
+    also returns (flat, ok) for gathering back."""
+    b = grid.batch_size
+    total = b * int(np.prod(cells))
+    sa = jnp.asarray(np.asarray(grid.stride, np.int32))
+    pos = jnp.floor_divide(grid.coords[:, 1:], sa)
+    flat = grid.coords[:, 0]
+    ok = grid.valid
+    for i, c in enumerate(cells):
+        ok = ok & (pos[:, i] >= 0) & (pos[:, i] < c)
+        flat = flat * c + jnp.clip(pos[:, i], 0, c - 1)
+    dest = jnp.where(ok, flat, total)
+    dense = jnp.zeros((total + 1, features.shape[1]), cd)
+    dense = dense.at[dest].set(features.astype(cd) * ok[:, None].astype(cd))
+    return dense[:total].reshape((b,) + tuple(cells) + (-1,)), flat, ok
+
+
+def _gather_rows(out_dense, grid: SparseGrid, cells, out_dtype,
+                 bias=None):
+    """Rows of the dense result at the grid's (valid) coordinates."""
+    total = grid.batch_size * int(np.prod(cells))
+    sa = jnp.asarray(np.asarray(grid.stride, np.int32))
+    pos = jnp.floor_divide(grid.coords[:, 1:], sa)
+    flat = grid.coords[:, 0]
+    ok = grid.valid
+    for i, c in enumerate(cells):
+        ok = ok & (pos[:, i] >= 0) & (pos[:, i] < c)
+        flat = flat * c + jnp.clip(pos[:, i], 0, c - 1)
+    out_flat = out_dense.reshape(total, -1)
+    out = out_flat[jnp.where(ok, flat, 0)] * ok[:, None].astype(
+        out_flat.dtype)
+    out = out.astype(out_dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def dense_no_growth_preferred2(spec: KernelSpec, in_grid: SparseGrid,
+                               out_grid: SparseGrid) -> bool:
+    """General no-growth predicate covering strided and k==s transpose
+    convs: densifying can't grow EITHER buffer, so the dense formulation
+    does strictly less work than any sparse schedule."""
+    if not DENSE_NO_GROWTH:
+        return False
+    if in_grid.extent is None or out_grid.extent is None:
+        return False
+    if spec.region_type != RegionType.HYPER_CUBE:
+        return False
+    if spec.transpose:
+        # exact-children case only: every output cell has exactly one
+        # source (k == upsample factor per axis), dilation 1
+        if any(k != s for k, s in zip(spec.kernel_size, spec.stride)):
+            return False
+        if any(d != 1 for d in spec.dilation):
+            return False
+    elif in_grid.ndim not in (2, 3):
+        return False  # lax.conv dimension_numbers written for 2-D/3-D
+    if _total_cells(in_grid) > in_grid.coords.shape[0]:
+        return False
+    return _total_cells(out_grid) <= out_grid.coords.shape[0]
+
+
+def dense_conv_general_apply(
+    features: jnp.ndarray,  # [N_in, Cin] (zero on invalid rows)
+    kernel: jnp.ndarray,  # [K, Cin, Cout], C-order offsets
+    in_grid: SparseGrid,
+    out_grid: SparseGrid,
+    spec: KernelSpec,
+    bias: jnp.ndarray | None = None,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Dense formulation of a strided or (k==s) transposed sparse conv.
+
+    Non-transpose (`kernel_map` pairing in = out + delta, offsets
+    [-lo, k-1-lo]·in_stride·dil): `lax.conv_general_dilated` over the
+    in-cell grid with window_strides = spec.stride and explicit padding
+    lo·dil so output cell j reads input cells j·s + (t-lo)·dil.
+
+    Transpose with k == s (the reference's Upsample / pool-transpose unit,
+    out = in + offsets·out_stride, offsets [0, k)): each output cell has
+    EXACTLY ONE source — out[i·s + o] = in[i] @ W[o] — an einsum +
+    spatial interleave, no conv needed."""
+    d = in_grid.ndim
+    cin = features.shape[1]
+    cout = kernel.shape[2]
+    cd = compute_dtype or features.dtype
+    ci = _cells_of(in_grid)
+    co = _cells_of(out_grid)
+    dense, _, _ = _densify(features, in_grid, ci, cd)
+    if spec.transpose:
+        ks = spec.kernel_size
+        # [B, *ci, K, Cout] -> interleave each axis's kernel index after
+        # its cell axis -> [B, *(ci*k)] -> crop to co
+        w = kernel.astype(cd)
+        out_d = jnp.einsum("...c,kcf->...kf", dense, w)
+        out_d = out_d.reshape(out_d.shape[:-2] + tuple(ks) + (cout,))
+        # axes: [b, x1..xd, k1..kd, f] -> [b, x1, k1, x2, k2, ..., f]
+        perm = [0]
+        for i in range(d):
+            perm += [1 + i, 1 + d + i]
+        perm += [1 + 2 * d]
+        out_d = out_d.transpose(perm)
+        out_d = out_d.reshape((in_grid.batch_size,)
+                              + tuple(c * k for c, k in zip(ci, ks))
+                              + (cout,))
+        out_d = out_d[(slice(None),) + tuple(slice(0, c) for c in co)]
+    else:
+        ks = spec.kernel_size
+        lo = [int(np.floor((k - 1) / 2)) for k in ks]
+        pads = []
+        for i in range(d):
+            p_lo = lo[i] * spec.dilation[i]
+            p_hi = ((co[i] - 1) * spec.stride[i]
+                    + (ks[i] - 1) * spec.dilation[i] - p_lo - (ci[i] - 1))
+            pads.append((p_lo, p_hi))
+        w = kernel.reshape(tuple(ks) + (cin, cout)).astype(cd)
+        dn = (("NDHWC", "DHWIO", "NDHWC") if d == 3
+              else ("NHWC", "HWIO", "NHWC"))
+        out_d = jax.lax.conv_general_dilated(
+            dense, w, window_strides=tuple(spec.stride), padding=pads,
+            rhs_dilation=tuple(spec.dilation), dimension_numbers=dn)
+    return _gather_rows(out_d, out_grid, co, features.dtype, bias)
+
+
 def dense_conv_apply(
     features: jnp.ndarray,  # [N, Cin] (zero on invalid rows)
     kernel: jnp.ndarray,  # [K, Cin, Cout], K = prod(kernel_size), C-order
