@@ -142,12 +142,36 @@ def canonical_order(coords: jnp.ndarray, valid: jnp.ndarray, stride,
     return jnp.lexsort(keys)
 
 
+def _decode_flat_key(keys: jnp.ndarray, valid: jnp.ndarray, stride,
+                     extent) -> jnp.ndarray:
+    """Inverse of ``flat_cell_key`` for lattice-aligned coordinates: recover
+    ``[N, 1+D]`` coords (batch, pos·stride) from the flat cell keys.  Exact
+    iff every valid coordinate is a multiple of its stride — the SparseGrid
+    canonical invariant (make_grid at stride 1, stride_grid's floor·stride,
+    expand_grid's parent+offset children all satisfy it)."""
+    d = len(extent)
+    sa = np.asarray(_tuplize(stride, d), dtype=np.int32)
+    cells = [int(np.ceil(e / s)) for e, s in zip(extent, sa)]
+    total = int(np.prod(cells))
+    k = jnp.where(valid, keys, 0)
+    b = k // total
+    rem = k % total
+    pos = []
+    for c in reversed(cells):
+        pos.append(rem % c)
+        rem = rem // c
+    pos = jnp.stack(pos[::-1], axis=-1) * jnp.asarray(sa)
+    out = jnp.concatenate([b[:, None], pos], axis=-1).astype(jnp.int32)
+    return jnp.where(valid[:, None], out, INVALID_COORD)
+
+
 def unique_coords(
     coords: jnp.ndarray,
     valid: jnp.ndarray,
     capacity: int,
     stride=1,
     extent=None,
+    with_inverse: bool = True,
 ):
     """Sort-based dedup into a fixed-capacity canonical buffer.
 
@@ -156,8 +180,42 @@ def unique_coords(
     array, its validity mask, the inverse map (input row → unique row, with
     ``capacity`` as the dropped/invalid sentinel) and the true unique count
     (callers can detect capacity overflow: ``count > capacity``).
+
+    Bounded grids take a key-space fast path: the injective flat cell key is
+    sorted as a bare int32 value (no argsort, no ``[N, 1+D]`` payload gather
+    or scatter — on TPU those narrow gathers dominated the generic path) and
+    the output coordinates are *decoded* from the keys by divmod; the inverse
+    map becomes one ``searchsorted``, skipped when ``with_inverse=False``
+    (stride/expand callers discard it).  Out-of-bounds valid rows are dropped
+    on this path (key = sentinel), matching how every bounded caller already
+    masks or guards its candidates.
     """
     n, nf = coords.shape
+    d = nf - 1
+    st = _tuplize(stride, d)
+    big = np.iinfo(np.int32).max
+    if _flat_bound(extent, st, d) is not None:
+        key = flat_cell_key(coords, valid, st, extent)
+        sk = jnp.sort(key)
+        okv = sk != big
+        first = okv & jnp.concatenate(
+            [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        uid = jnp.cumsum(first.astype(jnp.int32)) - 1
+        count = jnp.sum(first.astype(jnp.int32))
+        dest = jnp.where(first, jnp.minimum(uid, capacity), capacity)
+        out_keys = jnp.full((capacity + 1,), big, jnp.int32).at[dest].set(sk)
+        out_keys = out_keys[:capacity]
+        out_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+            count, capacity)
+        out_coords = _decode_flat_key(out_keys, out_valid, st, extent)
+        if with_inverse:
+            inv = jnp.searchsorted(out_keys, key).astype(jnp.int32)
+            hit = out_keys[jnp.minimum(inv, capacity - 1)] == key
+            inv = jnp.where(hit & (key != big) & (inv < capacity), inv,
+                            capacity)
+        else:
+            inv = None
+        return out_coords, out_valid, inv, count
     order = canonical_order(coords, valid, stride, extent)
     sc = coords[order]
     sv = valid[order]
@@ -223,7 +281,7 @@ def stride_grid(grid: SparseGrid, stride, capacity: int | None = None) -> Sparse
     down = jnp.where(grid.valid[:, None], down, INVALID_COORD)
     cap = capacity or grid.capacity
     uc, uv, _, _ = unique_coords(down, grid.valid, cap, new_stride,
-                                 extent=grid.extent)
+                                 extent=grid.extent, with_inverse=False)
     return SparseGrid(coords=uc, valid=uv, stride=new_stride,
                       batch_size=grid.batch_size, extent=grid.extent)
 
@@ -253,7 +311,8 @@ def expand_grid(
         for i, (gs, os) in enumerate(zip(grid.stride, out_stride)))
     uc, uv, _, _ = unique_coords(
         cand, cand_valid, capacity, tuple(out_stride),
-        extent=grid.extent if keep_extent_early else None)
+        extent=grid.extent if keep_extent_early else None,
+        with_inverse=False)
     # children stay inside [0, extent) iff offsets are non-negative and do
     # not reach past the parent cell (true for the k2-s2 octree growth)
     keep_extent = grid.extent is not None and offsets.min() >= 0 and all(
