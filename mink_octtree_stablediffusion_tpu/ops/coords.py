@@ -172,6 +172,7 @@ def unique_coords(
     stride=1,
     extent=None,
     with_inverse: bool = True,
+    batch_size: Optional[int] = None,
 ):
     """Sort-based dedup into a fixed-capacity canonical buffer.
 
@@ -189,6 +190,12 @@ def unique_coords(
     (stride/expand callers discard it).  Out-of-bounds valid rows are dropped
     on this path (key = sentinel), matching how every bounded caller already
     masks or guards its candidates.
+
+    The inverse on the bounded path is a dense-LUT gather when ``batch_size``
+    is given and the key space fits (`ops.lut.LUT_MAX_ENTRIES`): scatter each
+    unique row's position at its key cell, read back at the input keys — two
+    O(N) passes instead of ``searchsorted``, which XLA lowers to a log(N)-step
+    `while` gather chain on TPU (~3.7 ms at 32k rows vs ~0.3 ms for the LUT).
     """
     n, nf = coords.shape
     d = nf - 1
@@ -208,13 +215,26 @@ def unique_coords(
         out_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
             count, capacity)
         out_coords = _decode_flat_key(out_keys, out_valid, st, extent)
-        if with_inverse:
+        if not with_inverse:
+            return out_coords, out_valid, None, count
+        total_cells = _flat_bound(extent, st, d)
+        lut_total = (batch_size * total_cells if batch_size is not None
+                     else None)
+        from .lut import LUT_MAX_ENTRIES
+        if lut_total is not None and lut_total + 1 <= LUT_MAX_ENTRIES:
+            # dropped/overflowed keys keep the `capacity` default; padding
+            # rows write a trash slot that queries never read (okq override)
+            lut = jnp.full((lut_total + 1,), capacity, jnp.int32)
+            dest = jnp.where((out_keys != big) & (out_keys < lut_total),
+                             out_keys, lut_total)
+            lut = lut.at[dest].set(jnp.arange(capacity, dtype=jnp.int32))
+            okq = (key != big) & (key < lut_total)
+            inv = jnp.where(okq, lut[jnp.where(okq, key, 0)], capacity)
+        else:
             inv = jnp.searchsorted(out_keys, key).astype(jnp.int32)
             hit = out_keys[jnp.minimum(inv, capacity - 1)] == key
             inv = jnp.where(hit & (key != big) & (inv < capacity), inv,
                             capacity)
-        else:
-            inv = None
         return out_coords, out_valid, inv, count
     order = canonical_order(coords, valid, stride, extent)
     sc = coords[order]
@@ -252,7 +272,8 @@ def make_grid(
     d = coords.shape[1] - 1
     capacity = capacity or coords.shape[0]
     uc, uv, inverse, count = unique_coords(coords, valid, capacity, stride,
-                                           extent=extent)
+                                           extent=extent,
+                                           batch_size=batch_size)
     grid = SparseGrid(
         coords=uc, valid=uv, stride=_tuplize(stride, d), batch_size=batch_size,
         extent=None if extent is None else tuple(int(e) for e in extent),

@@ -171,38 +171,44 @@ def test_lut_matches_sorted_lookup(rng):
 
 
 def test_unique_bounded_key_path_matches_reference(rng):
-    """The bounded key-space fast path (sort keys, decode coords by divmod,
-    searchsorted inverse) must reproduce the canonical bounded order — unique
-    coords sorted by (batch, cell) row-major — with an exact inverse map."""
+    """The bounded key-space fast path (sort keys, decode coords by divmod)
+    must reproduce the canonical bounded order — unique coords sorted by
+    (batch, cell) row-major — with an exact inverse map on BOTH inverse
+    routes: the dense-LUT gather (batch_size given) and the searchsorted
+    fallback (batch_size unknown)."""
     for stride, res in ((1, 64), (4, 64), (8, 32)):
-        coords = random_coords(rng, 700, batch=3, res=res)
-        coords[:, 1:] = (coords[:, 1:] // stride) * stride  # lattice-aligned
-        valid = np.ones(700, bool)
-        valid[600:] = False
-        c, v = jnp.asarray(coords), jnp.asarray(valid)
-        uc, uv, inv, n = ops.unique_coords(
-            c, v, 1024, stride=stride, extent=(res,) * 3)
-        uc, uv, inv = map(np.asarray, (uc, uv, inv))
-        ref = np.unique(coords[:600], axis=0)  # lexsort rows = row-major
-        assert int(n) == len(ref)
-        assert np.array_equal(uc[uv], ref)
-        for i in range(600):
-            assert np.array_equal(uc[inv[i]], coords[i])
-        assert np.all(inv[600:] == 1024)
+        for bsz in (3, None):  # LUT inverse vs searchsorted fallback
+            coords = random_coords(rng, 700, batch=3, res=res)
+            coords[:, 1:] = (coords[:, 1:] // stride) * stride  # aligned
+            valid = np.ones(700, bool)
+            valid[600:] = False
+            c, v = jnp.asarray(coords), jnp.asarray(valid)
+            uc, uv, inv, n = ops.unique_coords(
+                c, v, 1024, stride=stride, extent=(res,) * 3,
+                batch_size=bsz)
+            uc, uv, inv = map(np.asarray, (uc, uv, inv))
+            ref = np.unique(coords[:600], axis=0)  # lexsort = row-major
+            assert int(n) == len(ref)
+            assert np.array_equal(uc[uv], ref)
+            for i in range(600):
+                assert np.array_equal(uc[inv[i]], coords[i])
+            assert np.all(inv[600:] == 1024)
 
 
 def test_unique_bounded_overflow_inverse_sentinel(rng):
     """Rows dropped by capacity overflow map to the capacity sentinel on the
-    key-space path, same as the generic path."""
-    coords = random_coords(rng, 300, batch=2, res=64)
-    valid = np.ones(300, bool)
-    uc, uv, inv, count = ops.unique_coords(
-        jnp.asarray(coords), jnp.asarray(valid), 50, extent=(64,) * 3)
-    uc, uv, inv = map(np.asarray, (uc, uv, inv))
-    assert int(count) >= 50
-    assert uv.sum() == 50
-    kept = inv < 50
-    # every kept row's unique coords equal its input coords
-    assert np.array_equal(uc[inv[kept]], coords[kept])
-    # dropped rows carry the sentinel exactly
-    assert np.all(inv[~kept] == 50)
+    key-space path (both inverse routes), same as the generic path."""
+    for bsz in (2, None):
+        coords = random_coords(rng, 300, batch=2, res=64)
+        valid = np.ones(300, bool)
+        uc, uv, inv, count = ops.unique_coords(
+            jnp.asarray(coords), jnp.asarray(valid), 50, extent=(64,) * 3,
+            batch_size=bsz)
+        uc, uv, inv = map(np.asarray, (uc, uv, inv))
+        assert int(count) >= 50
+        assert uv.sum() == 50
+        kept = inv < 50
+        # every kept row's unique coords equal its input coords
+        assert np.array_equal(uc[inv[kept]], coords[kept])
+        # dropped rows carry the sentinel exactly
+        assert np.all(inv[~kept] == 50)
