@@ -1,6 +1,12 @@
 """Training harness: optimizers, train steps, checkpoint/resume."""
 
-from .optim import diffusion_optimizer, vae_optimizer, warmup_cosine
+from .optim import (
+    cast_params,
+    diffusion_optimizer,
+    mixed_precision_params,
+    vae_optimizer,
+    warmup_cosine,
+)
 from .trainer import (
     CheckpointManager,
     TrainState,
@@ -10,7 +16,8 @@ from .trainer import (
 )
 
 __all__ = [
-    "diffusion_optimizer", "vae_optimizer", "warmup_cosine",
+    "cast_params", "diffusion_optimizer", "mixed_precision_params",
+    "vae_optimizer", "warmup_cosine",
     "CheckpointManager", "TrainState", "make_dp_train_step",
     "make_train_step", "split_device_rngs",
 ]

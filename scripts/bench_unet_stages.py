@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--no_attn", action="store_true",
                     help="ablation: attention share of the step")
+    ap.add_argument("--bf16_params", action="store_true",
+                    help="A/B bf16 parameter storage (mixed_precision_params"
+                         " recipe): weights live in bf16, killing the"
+                         " per-step fp32->bf16 weight casts the profiler"
+                         " attributes ~40%% of the device step to")
     args = ap.parse_args()
 
     if args.small:
@@ -104,6 +109,12 @@ def main():
         jax.random.PRNGKey(2), lat0, jnp.zeros((b,), jnp.int32))
     print("unet params:", mt.utils.count_params(unet_vars["params"]),
           flush=True)
+    if args.bf16_params:
+        unet_vars = dict(unet_vars,
+                         params=mt.train.cast_params(unet_vars["params"]))
+        vae_vars = dict(vae_vars,
+                        params=mt.train.cast_params(vae_vars["params"]))
+        lat0 = jax.jit(encode)(st0, vae_vars)
     nll0 = md.CoordNLLParams.create()
 
     # every variables tree travels as a jit ARGUMENT (closures would bake

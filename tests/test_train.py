@@ -136,3 +136,59 @@ def test_bf16_policy_training_loss_decreases(rng):
         assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(s.params))
     finally:
         mops.set_default_compute_dtype(None)
+
+
+def test_mixed_precision_params_tracks_fp32(rng):
+    """bf16 parameter STORAGE (fp32 master in the optimizer state): the
+    training trajectory must track fp32 param storage closely, the live
+    params must stay bf16 (= round(master)) so jitted steps never cast
+    weights, and sub-bf16-ulp updates must accumulate in the master
+    instead of rounding away (docs/DESIGN.md §7 weight-cast finding)."""
+    state32, loss_fn, batch = make_model_and_state(rng)
+    b = tuple(map(jnp.asarray, batch))
+    k = jax.random.PRNGKey(1)
+
+    tx16 = mtrain.mixed_precision_params(optax.adam(1e-2))
+    state16 = mtrain.TrainState.create(
+        mtrain.cast_params(state32.params), {}, tx16)
+
+    step32 = mtrain.make_train_step(loss_fn)
+    step16 = mtrain.make_train_step(loss_fn)
+    l32s, l16s = [], []
+    for i in range(20):
+        state32, l32, _ = step32(state32, b, k)
+        state16, l16, _ = step16(state16, b, k)
+        l32s.append(float(l32))
+        l16s.append(float(l16))
+    # loss trajectories agree to bf16-level tolerance
+    np.testing.assert_allclose(l16s, l32s, rtol=2e-2)
+    # live params stayed bf16 and equal round(master) exactly
+    master = state16.opt_state.master
+    for p, m in zip(jax.tree.leaves(state16.params), jax.tree.leaves(master)):
+        assert p.dtype == jnp.bfloat16
+        assert m.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(p, np.float32),
+                                      np.asarray(m.astype(jnp.bfloat16),
+                                                 np.float32))
+
+
+def test_mixed_precision_master_accumulates_sub_ulp_updates():
+    """Updates far below one bf16 ulp must still move the master: 1000
+    SGD steps of 1e-5 on a param at 1.0 (bf16 ulp ≈ 7.8e-3) shift the
+    master by ~1e-2 — naive bf16-only storage would stay frozen at 1.0."""
+    params = {"w": jnp.ones((4,), jnp.bfloat16)}
+    tx = mtrain.mixed_precision_params(optax.sgd(1e-5))
+
+    @jax.jit
+    def step(params, opt_state):
+        grads = {"w": jnp.ones((4,), jnp.bfloat16)}
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state
+
+    opt_state = tx.init(params)
+    for _ in range(1000):
+        params, opt_state = step(params, opt_state)
+    m = np.asarray(opt_state.master["w"], np.float32)
+    np.testing.assert_allclose(m, 1.0 - 1e-2, rtol=1e-3)
+    # and the live params show the accumulated drift once it crosses an ulp
+    assert float(np.asarray(params["w"], np.float32)[0]) < 1.0
