@@ -1,6 +1,7 @@
 """Training harness: optimizers, train steps, checkpoint/resume."""
 
 from .optim import (
+    adafactor_diffusion_optimizer,
     cast_params,
     diffusion_optimizer,
     mixed_precision_params,
@@ -16,6 +17,7 @@ from .trainer import (
 )
 
 __all__ = [
+    "adafactor_diffusion_optimizer",
     "cast_params", "diffusion_optimizer", "mixed_precision_params",
     "vae_optimizer", "warmup_cosine",
     "CheckpointManager", "TrainState", "make_dp_train_step",

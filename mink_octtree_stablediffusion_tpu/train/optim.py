@@ -38,8 +38,11 @@ def cast_params(params, dtype=jnp.bfloat16):
     """Cast the float leaves of a params tree to ``dtype`` (ints untouched).
 
     Use together with `mixed_precision_params` to switch a model to bf16
-    parameter *storage*: ``TrainState.create(cast_params(params), bs,
-    mixed_precision_params(tx))``."""
+    parameter *storage* — prefer ``TrainState.create_mixed_precision(params,
+    bs, mixed_precision_params(tx))``, which seeds the fp32 master from the
+    ORIGINAL params and only rounds the live copy (calling
+    ``create(cast_params(params), ...)`` instead would lose the fp32
+    initialization precision once at setup)."""
     return jax.tree.map(
         lambda p: p.astype(dtype)
         if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p, params)
@@ -106,4 +109,21 @@ def diffusion_optimizer(base_lr: float = 1e-4, warmup_steps: int = 1000,
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(warmup_cosine(base_lr, warmup_steps, total_steps),
                     weight_decay=weight_decay),
+    )
+
+
+def adafactor_diffusion_optimizer(
+        base_lr: float = 1e-4, warmup_steps: int = 1000,
+        total_steps: int = 100_000,
+        clip_norm: float = 0.5) -> optax.GradientTransformation:
+    """Memory-lean recipe for the reference-width (~1B param) UNet on one
+    chip: Adafactor's factored second moments replace Adam's per-param
+    m/v (16 GB of state at 1B params — more than a v5e's HBM), keeping the
+    same warmup-cosine schedule + grad clip as `diffusion_optimizer`."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adafactor(
+            learning_rate=warmup_cosine(base_lr, warmup_steps, total_steps),
+            multiply_by_parameter_scale=False, clipping_threshold=None,
+            momentum=None),
     )

@@ -38,6 +38,21 @@ class TrainState(struct.PyTreeNode):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
 
+    @classmethod
+    def create_mixed_precision(cls, params, batch_stats, tx,
+                               dtype=jnp.bfloat16):
+        """bf16-parameter-storage state WITHOUT losing the fp32 init: the
+        optimizer (a `mixed_precision_params`-wrapped chain) builds its
+        fp32 master from the ORIGINAL `params`, and only the live copy is
+        rounded to ``dtype``.  `create(cast_params(p), ...)` would seed the
+        master from already-rounded values instead."""
+        from .optim import cast_params  # local: keep module deps one-way
+
+        opt_state = tx.init(params)  # master = exact fp32 params
+        return cls(step=jnp.zeros((), jnp.int32),
+                   params=cast_params(params, dtype),
+                   batch_stats=batch_stats, opt_state=opt_state, tx=tx)
+
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
         return self.replace(
@@ -75,6 +90,13 @@ def make_dp_train_step(loss_fn: Callable, mesh: Mesh, axis_name: str = "data"):
         rng = rng[0]
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        # Average in fp32 even under bf16 parameter storage: a bf16 pmean
+        # tree-reduction adds per-device rounding that single-device bf16
+        # training doesn't have, and `mixed_precision_params` upcasts the
+        # result anyway — upcasting first keeps the master update exact.
+        grads = jax.tree.map(
+            lambda g: g.astype(jnp.float32)
+            if jnp.issubdtype(g.dtype, jnp.floating) else g, grads)
         grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
         aux = jax.lax.pmean(aux, axis_name)

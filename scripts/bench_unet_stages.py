@@ -114,7 +114,8 @@ def main():
                          params=mt.train.cast_params(unet_vars["params"]))
         vae_vars = dict(vae_vars,
                         params=mt.train.cast_params(vae_vars["params"]))
-        lat0 = jax.jit(encode)(st0, vae_vars)
+        # (no lat0 recompute: lat0 was only consumed by unet.init above,
+        # and the timed stages re-encode per step)
     nll0 = md.CoordNLLParams.create()
 
     # every variables tree travels as a jit ARGUMENT (closures would bake

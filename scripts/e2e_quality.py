@@ -69,6 +69,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--resolution", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--points", type=int, default=4096,
+                   help="surface samples per shape (raise with resolution "
+                        "so the voxel shell is fully covered)")
     p.add_argument("--input_capacity", type=int, default=8192)
     p.add_argument("--vae_channel", type=int, nargs=5,
                    default=[16, 32, 64, 64, 4])
@@ -81,11 +84,18 @@ def main():
     p.add_argument("--lr_vae", type=float, default=1e-3)
     p.add_argument("--lr_diff", type=float, default=2e-4)
     p.add_argument("--group", type=int, default=16)
+    p.add_argument("--diff_opt", choices=["adamw", "adafactor"],
+                   default="adamw",
+                   help="adafactor fits the reference-width ~1B-param UNet "
+                        "in one v5e's HBM (Adam state alone is 16 GB there)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet stacks in the backward pass")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--viz_dir", type=str, default=None)
     cfg = p.parse_args()
 
-    ds = SyntheticShapes(resolution=cfg.resolution, num_samples=cfg.batch_size)
+    ds = SyntheticShapes(resolution=cfg.resolution, num_samples=cfg.batch_size,
+                         points_per_shape=cfg.points)
     cap, b = cfg.input_capacity, cfg.batch_size
     cpad, valid, feats, _ = collate_pointclouds(
         [ds[i]["coords"] for i in range(b)], cap)
@@ -156,7 +166,7 @@ def main():
     lat0 = jax.jit(encode)(vae_vars, st0)
     attn_max_len = max(-(-latent_cap * 3 // (2 * b) // 128) * 128, 128)
     unet = mm.UNet(channels=tuple(cfg.unet_channel), group=cfg.group,
-                   attn_max_len=attn_max_len,
+                   attn_max_len=attn_max_len, remat=cfg.remat,
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),
                                     max(latent_cap // 8, 8)))
@@ -166,8 +176,12 @@ def main():
           flush=True)
 
     params0 = {"unet": unet_vars["params"], "nll": md.CoordNLLParams.create()}
-    tx2 = mtrain.diffusion_optimizer(cfg.lr_diff, warmup_steps=100,
-                                      total_steps=cfg.steps_diff)
+    if cfg.diff_opt == "adafactor":
+        tx2 = mtrain.adafactor_diffusion_optimizer(
+            cfg.lr_diff, warmup_steps=100, total_steps=cfg.steps_diff)
+    else:
+        tx2 = mtrain.diffusion_optimizer(cfg.lr_diff, warmup_steps=100,
+                                         total_steps=cfg.steps_diff)
     dstate = mtrain.TrainState.create(params0, {}, tx2)
 
     def diff_loss_fn(params, batch_stats, batch, rng):

@@ -192,3 +192,73 @@ def test_mixed_precision_master_accumulates_sub_ulp_updates():
     np.testing.assert_allclose(m, 1.0 - 1e-2, rtol=1e-3)
     # and the live params show the accumulated drift once it crosses an ulp
     assert float(np.asarray(params["w"], np.float32)[0]) < 1.0
+
+
+def test_create_mixed_precision_seeds_master_from_fp32(rng):
+    """`TrainState.create_mixed_precision` must seed the fp32 master from
+    the ORIGINAL params (no bf16 round-trip at init), while the live copy
+    is the bf16 cast — `create(cast_params(p), ...)` loses that."""
+    state32, _, _ = make_model_and_state(rng)
+    tx = mtrain.mixed_precision_params(optax.adam(1e-2))
+    st = mtrain.TrainState.create_mixed_precision(state32.params, {}, tx)
+    for p0, m, live in zip(jax.tree.leaves(state32.params),
+                           jax.tree.leaves(st.opt_state.master),
+                           jax.tree.leaves(st.params)):
+        assert m.dtype == jnp.float32 and live.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(p0))
+        np.testing.assert_array_equal(
+            np.asarray(live, np.float32),
+            np.asarray(jnp.asarray(p0).astype(jnp.bfloat16), np.float32))
+
+
+def test_checkpoint_roundtrip_mixed_precision_state(rng, tmp_path):
+    """orbax roundtrip of the `MixedPrecisionParamsState` opt_state (the
+    NamedTuple holding the fp32 master) — the state that makes bf16-storage
+    resume correct must restore bit-exactly (ADVICE r1)."""
+    state32, loss_fn, batch = make_model_and_state(rng)
+    tx = mtrain.mixed_precision_params(optax.adam(1e-2))
+    state = mtrain.TrainState.create_mixed_precision(state32.params, {}, tx)
+    step = mtrain.make_train_step(loss_fn)
+    b = tuple(map(jnp.asarray, batch))
+    state, _, _ = step(state, b, jax.random.PRNGKey(1))
+    state, _, _ = step(state, b, jax.random.PRNGKey(2))
+
+    ckpt = mtrain.CheckpointManager(str(tmp_path / "ckpt_mp"))
+    ckpt.save(2, state)
+
+    fresh = mtrain.TrainState.create_mixed_precision(state32.params, {}, tx)
+    restored = mtrain.CheckpointManager(str(tmp_path / "ckpt_mp")).restore(
+        fresh)
+    assert int(restored.step) == 2
+    # fp32 master restores bit-exactly with dtype preserved
+    for a, c in zip(jax.tree.leaves(restored.opt_state.master),
+                    jax.tree.leaves(state.opt_state.master)):
+        assert a.dtype == c.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    # live bf16 params restore bit-exactly too
+    for a, c in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        assert a.dtype == c.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(c, np.float32))
+    # and training continues identically from the restored state
+    s_a, l_a, _ = step(state, b, jax.random.PRNGKey(3))
+    s_b, l_b, _ = step(restored, b, jax.random.PRNGKey(3))
+    assert float(l_a) == float(l_b)
+
+
+def test_adafactor_diffusion_optimizer_trains(rng):
+    """The memory-lean Adafactor recipe (reference-width-UNet-on-one-chip
+    path, scripts/e2e_quality.py --diff_opt adafactor) optimizes."""
+    state32, loss_fn, batch = make_model_and_state(rng)
+    tx = mtrain.adafactor_diffusion_optimizer(1e-2, warmup_steps=2,
+                                              total_steps=50)
+    state = mtrain.TrainState.create(state32.params, {}, tx)
+    step = mtrain.make_train_step(loss_fn)
+    b = tuple(map(jnp.asarray, batch))
+    losses = []
+    for i in range(12):
+        state, loss, _ = step(state, b, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9, losses
