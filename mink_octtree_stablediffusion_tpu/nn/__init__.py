@@ -5,17 +5,24 @@ The TPU-native equivalent of the reference's L4/L5 layers
 """
 
 from .act import (
+    AdaptiveLogSoftmaxWithLoss,
+    AlphaDropout,
     Dropout,
+    PReLU,
+    RReLU,
     Sinusoidal,
     apply_fn,
     elu,
     gelu,
     get_act,
+    hardshrink,
     relu,
     sigmoid,
     silu,
     softmax,
+    softshrink,
     tanh,
+    threshold,
 )
 from .attention import MortonWindowTransformer, SparseAttention, SparseTransformer
 from .blocks import (
@@ -24,6 +31,7 @@ from .blocks import (
     ResBottleneck,
     ResNetStack,
     SEBasicBlock,
+    SEBottleneck,
     SELayer,
     _HeadConvNormAct,
     remat_stack,
@@ -41,6 +49,7 @@ from .norm import (
     AdaStableInstanceNorm,
     BatchNorm,
     GroupNormDense,
+    HjmInstanceNorm,
     InstanceNorm,
     StableGroupNorm,
     StableInstanceNorm,
@@ -56,14 +65,18 @@ from .pool import (
 )
 
 __all__ = [
-    "Dropout", "Sinusoidal", "apply_fn", "elu", "gelu", "get_act", "relu",
-    "sigmoid", "silu", "softmax", "tanh", "MortonWindowTransformer",
+    "AdaptiveLogSoftmaxWithLoss", "AlphaDropout", "Dropout", "PReLU",
+    "RReLU", "Sinusoidal", "apply_fn", "elu", "gelu", "get_act",
+    "hardshrink", "relu", "sigmoid", "silu", "softmax", "softshrink",
+    "tanh", "threshold", "MortonWindowTransformer",
     "SparseAttention", "SparseTransformer", "BasicBlock", "ResBasicBlock",
-    "ResBottleneck", "ResNetStack", "SEBasicBlock", "SELayer", "remat_stack",
+    "ResBottleneck", "ResNetStack", "SEBasicBlock", "SEBottleneck",
+    "SELayer", "remat_stack",
     "ChannelwiseConv", "GenerativeConvTranspose", "Linear", "SparseConv",
     "SparseConvTranspose", "UpsampleInterpolate", "LinearPositionalEncoding",
     "TimestepEmbedding", "timesteps_embedding", "AdaStableInstanceNorm",
-    "BatchNorm", "GroupNormDense", "InstanceNorm", "StableGroupNorm",
+    "BatchNorm", "GroupNormDense", "HjmInstanceNorm", "InstanceNorm",
+    "StableGroupNorm",
     "StableInstanceNorm", "GlobalMaxAvgPool", "GlobalPool", "LocalPool",
     "PoolTranspose", "broadcast_concat", "broadcast_op",
     "global_pool_features",

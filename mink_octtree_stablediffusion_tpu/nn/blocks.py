@@ -22,7 +22,7 @@ from .act import get_act
 from .attention import SparseTransformer
 from .conv import GenerativeConvTranspose, SparseConv, SparseConvTranspose, UpsampleInterpolate
 from .norm import BatchNorm, StableInstanceNorm
-from .pool import LocalPool, broadcast_op, global_pool_features
+from .pool import LocalPool, PoolTranspose, broadcast_op, global_pool_features
 
 
 class _Norm(nn.Module):
@@ -162,7 +162,13 @@ class ResNetStack(nn.Module):
 
     out_channels: int
     layers: int = 2  # ResNet2; 3 → ResNet3
-    after: Optional[str] = None  # None | "downsample" | "upsample" | "upsample_determine"
+    # None | "downsample" | "upsample" | "upsample_determine" (conv heads,
+    # `diffusion_block.py:189-207`) | "avg_pool" | "pool_transpose" |
+    # "upsample_interpolate" (non-conv geometry ops, `diffusion_block.py:
+    # 344-364` — the reference reaches the first and last via
+    # ``use_conv=False``; ``pool_transpose`` is its defined-but-unwired
+    # head class, selectable here directly)
+    after: Optional[str] = None
     use_conv: bool = True  # False → avg-pool / interpolate geometry ops
     use_time_emb: bool = False
     time_embedding_norm: str = "default"
@@ -182,18 +188,31 @@ class ResNetStack(nn.Module):
                  train: bool = True) -> SparseTensor:
         norm_kind = "instance" if self.use_time_emb else "batch"
         has_tail = self.use_time_emb
+        # normalize the geometry plan: `geom_op` is a trailing non-conv
+        # geometry op (or None when a conv head carries the geometry).  The
+        # reference's ``use_conv=False`` selects avg_pool / interpolate from
+        # the down/up names; the explicit names select them directly.
+        geom_op = self.after if self.after in (
+            "avg_pool", "pool_transpose", "upsample_interpolate") else None
+        if not self.use_conv:
+            geom_op = {"downsample": "avg_pool",
+                       "upsample": "upsample_interpolate",
+                       "upsample_determine": "upsample_interpolate",
+                       }.get(self.after, geom_op)
+        conv_head = self.use_conv and geom_op is None
+
         # pin the final layer to out_grid (reference pins the *last* layer,
         # `diffusion_block.py:252-262`).  A pinned-transpose head is the only
         # geometry source for "upsample_determine", so it always receives the
         # target grid.
-        if self.use_conv and self.after == "upsample_determine":
+        if conv_head and self.after == "upsample_determine":
             head_grid = out_grid
-        elif not has_tail and self.use_conv and self.after != "upsample":
+        elif not has_tail and conv_head and self.after != "upsample":
             head_grid = out_grid
         else:
             head_grid = None
 
-        if self.use_conv:
+        if conv_head:
             mode = {"downsample": "down", "upsample": "up",
                     "upsample_determine": "up_determine"}.get(self.after, "adapt")
             x = _HeadConvNormAct(self.out_channels, mode, norm_kind, self.group,
@@ -215,13 +234,17 @@ class ResNetStack(nn.Module):
                 name=f"block{i}",
             )(x, emb, encoder_hidden_state, train=train)
 
-        if not self.use_conv:
-            if self.after == "downsample":
-                x = LocalPool(2, 2, mode="avg",
-                              out_capacity=self.out_capacity, name="pool")(x)
-            elif self.after in ("upsample", "upsample_determine"):
-                assert self.out_capacity is not None
-                x = UpsampleInterpolate(self.out_capacity, name="up_interp")(x)
+        if geom_op == "avg_pool":
+            x = LocalPool(2, 2, mode="avg", out_capacity=self.out_capacity,
+                          name="pool")(
+                x, out_grid=None if has_tail else out_grid)
+        elif geom_op == "pool_transpose":
+            assert out_grid is not None, \
+                "after='pool_transpose' needs the finer target grid"
+            x = PoolTranspose(2, 2, name="pool_tr")(x, out_grid)
+        elif geom_op == "upsample_interpolate":
+            assert self.out_capacity is not None
+            x = UpsampleInterpolate(self.out_capacity, name="up_interp")(x)
 
         if has_tail:
             x = _HeadConvNormAct(self.out_channels, "adapt", norm_kind,
@@ -345,6 +368,42 @@ class SEBasicBlock(nn.Module):
         if self.stride != 1 or x.num_channels != self.planes:
             res = SparseConv(self.planes, 1, 1, name="downsample_conv")(
                 x, out_grid=out.grid)
+            res = BatchNorm(axis_name=self.axis_name, name="downsample_norm")(
+                res, train)
+        else:
+            res = x
+        out = out + res
+        return out.with_features(jax.nn.relu(out.features))
+
+
+class SEBottleneck(nn.Module):
+    """`SEBottleneck` (`modules/senet_block.py:89-131`): the Bottleneck
+    body with squeeze-excite on the expanded (planes*4) features before the
+    residual add."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    reduction: int = 16
+    out_capacity: Optional[int] = None
+    axis_name: Optional[str] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = True) -> SparseTensor:
+        out = SparseConv(self.planes, 1, name="conv1")(x)
+        out = BatchNorm(axis_name=self.axis_name, name="norm1")(out, train)
+        out = out.with_features(jax.nn.relu(out.features))
+        out = SparseConv(self.planes, 3, self.stride, self.dilation,
+                         out_capacity=self.out_capacity, name="conv2")(out)
+        out = BatchNorm(axis_name=self.axis_name, name="norm2")(out, train)
+        out = out.with_features(jax.nn.relu(out.features))
+        out = SparseConv(self.planes * self.expansion, 1, name="conv3")(out)
+        out = BatchNorm(axis_name=self.axis_name, name="norm3")(out, train)
+        out = SELayer(self.reduction, name="se")(out)
+        if self.stride != 1 or x.num_channels != self.planes * self.expansion:
+            res = SparseConv(self.planes * self.expansion, 1,
+                             name="downsample_conv")(x, out_grid=out.grid)
             res = BatchNorm(axis_name=self.axis_name, name="downsample_norm")(
                 res, train)
         else:

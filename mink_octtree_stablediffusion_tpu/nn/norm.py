@@ -209,3 +209,55 @@ class GroupNormDense(nn.Module):
         y = (xg - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * weight[:, None] + bias[:, None]
         return y.reshape(x.shape)
+
+
+class HjmInstanceNorm(nn.Module):
+    """Fork's `HjmInstanceNorm` (`MinkowskiNormalization.py:520-544`):
+    BatchNorm applied separately to each instance — per-instance masked
+    mean/var normalize each instance's rows in train mode (shared BN
+    affine), while eval mode uses the running stats for every row exactly
+    like plain BN eval.
+
+    The torch original loops instances in batch order and feeds each
+    through the same `nn.BatchNorm1d`, so the running stats receive K
+    sequential momentum updates per forward; we reproduce that ordered
+    accumulation in closed form (weight ``(1-m)·m^(#present after i)`` per
+    present instance), skipping empty instances like `np.unique` does."""
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, train: bool = True) -> SparseTensor:
+        c = x.num_channels
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), self.dtype))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), self.dtype))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            bid = x.grid.batch_ids()
+            mean_b, counts = global_pool(x.features, bid, x.batch_size,
+                                         x.valid, "avg")
+            centered = (x.features - broadcast_batch(mean_b, bid, x.valid)) \
+                * x.valid[:, None].astype(x.features.dtype)
+            var_b, _ = global_pool(centered ** 2, bid, x.batch_size,
+                                   x.valid, "avg")
+            inv = jax.lax.rsqrt(var_b + self.eps)
+            y = centered * broadcast_batch(inv, bid, x.valid)
+            if not self.is_initializing():
+                m = self.momentum
+                present = (counts > 0).astype(self.dtype)  # [B]
+                # suffix count of present instances strictly after i
+                after = (jnp.cumsum(present[::-1])[::-1] - present)
+                w = (1.0 - m) * jnp.power(m, after) * present  # [B]
+                ra_decay = jnp.power(m, jnp.sum(present))
+                ra_mean.value = ra_decay * ra_mean.value + w @ mean_b
+                ra_var.value = ra_decay * ra_var.value + w @ var_b
+        else:
+            y = (x.features - ra_mean.value) * \
+                jax.lax.rsqrt(ra_var.value + self.eps)
+        return x.with_features(y * scale + bias)

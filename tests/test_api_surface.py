@@ -46,9 +46,19 @@ def test_nn_surface():
               "SparseTransformer", "SparseAttention",
               "MortonWindowTransformer", "BasicBlock", "ResNetStack",
               "remat_stack", "ResBasicBlock", "ResBottleneck", "SELayer",
-              "SEBasicBlock", "TimestepEmbedding", "timesteps_embedding",
-              "LinearPositionalEncoding"]:
+              "SEBasicBlock", "SEBottleneck", "TimestepEmbedding",
+              "timesteps_embedding", "LinearPositionalEncoding",
+              # parity tail (r2): HjmInstanceNorm + remaining activations
+              "HjmInstanceNorm", "PReLU", "RReLU", "AlphaDropout",
+              "AdaptiveLogSoftmaxWithLoss", "hardshrink", "softshrink",
+              "threshold"]:
         _has(mt.nn, n)
+    # tail activation functions reachable through the named lookup
+    for n in ["softmin", "log_sigmoid", "hardshrink", "softshrink",
+              "tanhshrink", "relu6", "selu", "celu", "leaky_relu",
+              "hardswish", "hardsigmoid", "hardtanh", "softplus",
+              "softsign"]:
+        mt.nn.get_act(n)
 
 
 def test_models_surface():

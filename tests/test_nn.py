@@ -336,3 +336,79 @@ def test_resnet_stack_remat_matches(rng):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
                                    atol=1e-5)
+
+
+def test_resnet_stack_nonconv_heads_alias_legacy(rng):
+    """`after="avg_pool"` / `"upsample_interpolate"` are the first-class
+    spellings of the reference's ``use_conv=False`` head selection
+    (`diffusion_block.py:344-364`): identical module graph, identical
+    outputs."""
+    st, _, _ = full_grid_tensor(rng, 4, 4, b=2)
+    # upsampling needs a coarse (stride-2) input
+    coarse = mnn.LocalPool(2, 2, mode="avg", out_capacity=32).apply({}, st)
+    for x_in, new, legacy in [
+        (st, dict(after="avg_pool", out_capacity=32),
+         dict(after="downsample", use_conv=False, out_capacity=32)),
+        (coarse, dict(after="upsample_interpolate", out_capacity=256),
+         dict(after="upsample", use_conv=False, out_capacity=256)),
+    ]:
+        m_new = mnn.ResNetStack(out_channels=8, layers=2, **new)
+        m_old = mnn.ResNetStack(out_channels=8, layers=2, **legacy)
+        v = jax.jit(m_new.init, static_argnums=(5,))(
+            jax.random.PRNGKey(0), x_in, None, None, None, True)
+        v2 = jax.eval_shape(
+            lambda: m_old.init(jax.random.PRNGKey(0), x_in, None, None, None,
+                               True))
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(v2))
+        # eval mode: no batch_stats mutation, deterministic comparison
+        o_new = jax.jit(m_new.apply, static_argnums=(5,))(
+            v, x_in, None, None, None, False)
+        o_old = jax.jit(m_old.apply, static_argnums=(5,))(
+            v, x_in, None, None, None, False)
+        np.testing.assert_array_equal(np.asarray(o_new.features),
+                                      np.asarray(o_old.features))
+        np.testing.assert_array_equal(np.asarray(o_new.grid.coords),
+                                      np.asarray(o_old.grid.coords))
+
+
+def test_resnet_stack_avg_pool_head_geometry(rng):
+    """`after="avg_pool"`: trailing 2x2 avg pool halves the grid (stride
+    doubles), batch-norm path, grads flow."""
+    st, _, _ = full_grid_tensor(rng, 4, 3, b=2)
+    m = mnn.ResNetStack(out_channels=8, layers=2, after="avg_pool",
+                        out_capacity=32)
+    v = jax.jit(m.init, static_argnums=(5,))(
+        jax.random.PRNGKey(0), st, None, None, None, True)
+
+    @jax.jit
+    def loss(params, st):
+        out, _ = m.apply({"params": params["params"],
+                          "batch_stats": params.get("batch_stats", {})},
+                         st, None, None, None, True,
+                         mutable=["batch_stats"])
+        assert tuple(int(s) for s in out.grid.stride) == (2, 2, 2)
+        return jnp.sum(out.features ** 2)
+
+    l, g = jax.value_and_grad(loss)(v, st)
+    assert np.isfinite(float(l)) and float(l) > 0
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_resnet_stack_pool_transpose_head(rng):
+    """`after="pool_transpose"`: unpool to a pinned finer grid (the
+    reference's defined-but-unwired `pool_transpose` head,
+    `diffusion_block.py:351-356`)."""
+    st, _, _ = full_grid_tensor(rng, 4, 3, b=1)
+    coarse = mnn.LocalPool(2, 2, mode="avg", out_capacity=16).apply({}, st)
+    m = mnn.ResNetStack(out_channels=6, layers=2, after="pool_transpose")
+    v = jax.jit(m.init, static_argnums=(5,))(
+        jax.random.PRNGKey(0), coarse, None, st.grid, None, True)
+    out, _ = m.apply(v, coarse, None, st.grid, None, True,
+                     mutable=["batch_stats"])
+    assert out.grid is st.grid  # landed exactly on the pinned fine grid
+    f = np.asarray(out.features)
+    assert np.isfinite(f).all()
+    assert int(np.sum(np.asarray(out.valid))) == int(np.sum(np.asarray(st.valid)))
+    # unpooled rows are non-trivial (each fine voxel copied its parent)
+    assert float(np.abs(f).sum()) > 0
