@@ -5,8 +5,11 @@ from .classification import MinkowskiFCNN, MinkowskiSplatFCNN, field_slice
 from .completion import CompletionNet, GenerativeNet
 from .dense_unet import (
     Attention3D,
+    DenseAttention,
+    DenseTransformer3D,
     Downsample3D,
     ResnetBlock3D,
+    UNet3DConditionModel,
     UNet3DModel,
     Upsample3D,
 )
@@ -29,8 +32,8 @@ from .vqvae import VQVAE, VectorQuantizer
 
 __all__ = [
     "MinkowskiFCNN", "MinkowskiSplatFCNN", "field_slice", "CompletionNet",
-    "Attention3D", "Downsample3D", "ResnetBlock3D", "UNet3DModel",
-    "Upsample3D",
+    "Attention3D", "DenseAttention", "DenseTransformer3D", "Downsample3D",
+    "ResnetBlock3D", "UNet3DConditionModel", "UNet3DModel", "Upsample3D",
     "GenerativeNet", "MinkUNet14", "MinkUNet18", "MinkUNet34", "MinkUNet34A",
     "MinkUNet34B", "MinkUNet34C", "MinkUNet50", "MinkUNet101", "MinkUNetBase",
     "MinkowskiPointNet", "PointNet", "ResNet14", "ResNet18", "ResNet34",

@@ -174,3 +174,144 @@ class UNet3DModel(nn.Module):
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                        name="conv_out")(h)
+
+
+class DenseAttention(nn.Module):
+    """Residual attention over dense tokens — the reference `denseAttention`
+    (`diffusion_block_dense.py:566-683`): to_q / to_kv projections without
+    bias, output projection with bias, LayerNorm + SiLU before to_out,
+    residual connection; self-attention by default, cross-attention when
+    ``encoder_hidden_state`` [B, S, D_cross] is given.
+
+    Mirrors the structure of `nn.attention.SparseAttention` so a sparse↔
+    dense cross-check can tie weights one-to-one.  (The torch original adds
+    `nn.MultiheadAttention`'s redundant second set of in/out projections on
+    top of to_q/to_kv — collapsed here exactly like the sparse side.)"""
+
+    num_heads: int = 1
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray,
+                 encoder_hidden_state: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        b, l, c = tokens.shape
+        residual = tokens
+        q = nn.Dense(c, use_bias=False, name="to_q")(tokens)
+        ctx = tokens if encoder_hidden_state is None else encoder_hidden_state
+        kv = nn.Dense(2 * c, use_bias=False, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+        hd = c // self.num_heads
+
+        def heads(t):
+            return t.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        logits = heads(q) @ heads(k).transpose(0, 1, 3, 2) / jnp.sqrt(hd)
+        w = jax.nn.softmax(logits, axis=-1)
+        o = (w @ heads(v)).transpose(0, 2, 1, 3).reshape(b, -1, c)
+        o = nn.LayerNorm(name="norm1")(o)
+        o = nn.silu(o)
+        o = nn.Dense(c, use_bias=True, name="to_out")(o)
+        return o + residual
+
+
+class DenseTransformer3D(nn.Module):
+    """Flatten a dense [B, D, H, W, C] grid to [B, L, C] tokens → attention
+    → restore — the reference `denseTransformer`
+    (`diffusion_block_dense.py:786-860`).  The torch original `view`s its
+    channel-FIRST tensor to (B, L, C), which scrambles channels into the
+    token axis; this channel-last flatten keeps tokens = voxels (the
+    evident intent, and what the sparse path computes)."""
+
+    num_heads: int = 1
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 encoder_hidden_state: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        b, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        tokens = x.reshape(b, -1, c)
+        out = DenseAttention(
+            num_heads=self.num_heads,
+            cross_attention_dim=self.cross_attention_dim,
+            name="attn")(tokens, encoder_hidden_state)
+        return out.reshape((b,) + spatial + (c,))
+
+
+class UNet3DConditionModel(nn.Module):
+    """Conditioned dense 3D UNet — the TPU equivalent of the reference's
+    vendored diffusers `UNet3DConditionModel` (`examples/unet_3d.py:65`,
+    used by `examples/diffusion_full.py:501`): UNet3DModel's conv backbone
+    plus per-level self+cross attention transformers driven by
+    ``encoder_hidden_states`` (CLIP text/image embeddings), mirroring the
+    CrossAttnDownBlock3D / CrossAttnUpBlock3D layout and the
+    (in_channels, block_out_channels, layers_per_block, cross_attention_dim,
+    attention_head_dim, norm_num_groups) config surface."""
+
+    out_channels: int = 4
+    block_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64
+    groups: int = 32
+    # diffusers default: cross-attn on every level except the deepest down /
+    # shallowest up (DownBlock3D last, UpBlock3D first)
+    cross_attn_levels: Optional[Sequence[int]] = None
+    time_embedding_norm: str = "default"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 encoder_hidden_states: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        ch = self.block_channels
+        xattn_lvls = (tuple(range(len(ch) - 1))
+                      if self.cross_attn_levels is None
+                      else tuple(self.cross_attn_levels))
+        temb = timesteps_embedding(timesteps, ch[0])
+        temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb)
+
+        def xattn(h, lvl, tag):
+            if lvl not in xattn_lvls or encoder_hidden_states is None:
+                return h
+            heads = max(h.shape[-1] // self.attention_head_dim, 1)
+            h = DenseTransformer3D(num_heads=heads, name=f"{tag}_self")(h)
+            return DenseTransformer3D(
+                num_heads=heads, cross_attention_dim=self.cross_attention_dim,
+                name=f"{tag}_cross")(h, encoder_hidden_states)
+
+        h = nn.Conv(ch[0], (3, 3, 3), padding="SAME", name="conv_in")(x)
+        skips = [h]
+        for lvl, c in enumerate(ch):
+            for i in range(self.layers_per_block):
+                h = ResnetBlock3D(c, self.groups, self.time_embedding_norm,
+                                  name=f"down{lvl}_res{i}")(h, temb)
+                h = xattn(h, lvl, f"down{lvl}_attn{i}")
+                skips.append(h)
+            if lvl < len(ch) - 1:
+                h = Downsample3D(c, name=f"down{lvl}_ds")(h)
+                skips.append(h)
+
+        h = ResnetBlock3D(ch[-1], self.groups, self.time_embedding_norm,
+                          name="mid_res1")(h, temb)
+        h = xattn(h, xattn_lvls[0] if xattn_lvls else -1, "mid_attn")
+        h = ResnetBlock3D(ch[-1], self.groups, self.time_embedding_norm,
+                          name="mid_res2")(h, temb)
+
+        for lvl in reversed(range(len(ch))):
+            c = ch[lvl]
+            for i in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock3D(c, self.groups, self.time_embedding_norm,
+                                  name=f"up{lvl}_res{i}")(h, temb)
+                h = xattn(h, lvl, f"up{lvl}_attn{i}")
+            if lvl > 0:
+                h = Upsample3D(ch[lvl - 1], name=f"up{lvl}_us")(h)
+
+        h = nn.GroupNorm(num_groups=min(self.groups, h.shape[-1]),
+                         name="norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                       name="conv_out")(h)

@@ -85,6 +85,15 @@ def main():
     p.add_argument("--lr_vae", type=float, default=1e-3)
     p.add_argument("--lr_diff", type=float, default=2e-4)
     p.add_argument("--group", type=int, default=16)
+    p.add_argument("--prediction_type",
+                   choices=["epsilon", "sample", "v_prediction"],
+                   default="epsilon",
+                   help="'sample' (x0-prediction + SNR weighting, the "
+                        "reference's alternative mode, diffusion.py:487-504) "
+                        "converges far faster on overfit sets: ε-prediction "
+                        "must squeeze a per-voxel identity through the s1 "
+                        "bottleneck (docs/DESIGN.md §9) while x0 can be "
+                        "memorized per coordinate")
     p.add_argument("--diff_opt", choices=["adamw", "adafactor"],
                    default="adamw",
                    help="adafactor fits the reference-width ~1B-param UNet "
@@ -177,7 +186,7 @@ def main():
                    down_capacities=(max(latent_cap // 2, 16),
                                     max(latent_cap // 4, 8),
                                     max(latent_cap // 8, 8)))
-    sched = md.DDPMScheduler.create()
+    sched = md.DDPMScheduler.create(prediction_type=cfg.prediction_type)
     unet_vars = jax.jit(unet.init)(rng, lat0, jnp.zeros((b,), jnp.int32))
     print("unet params:", mt.utils.count_params(unet_vars["params"]),
           flush=True)
@@ -201,7 +210,8 @@ def main():
 
         loss, aux = md.diffusion_training_loss(
             unet_apply, sched, latent, rng, nll_params=params["nll"],
-            resolution=cfg.resolution)
+            resolution=cfg.resolution,
+            prediction_type=cfg.prediction_type)
         return loss, (aux, batch_stats)
 
     dstep_fn = mtrain.make_train_step(diff_loss_fn)

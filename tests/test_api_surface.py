@@ -67,7 +67,11 @@ def test_models_surface():
               "MinkowskiFCNN", "MinkowskiSplatFCNN", "PointNet",
               "MinkowskiPointNet", "ResNet14", "ResNet18", "ResNet34",
               "ResNet50", "ResNet101", "MinkUNet14", "MinkUNet34C",
-              "GenerativeNet", "CompletionNet", "UNet3DModel"]:
+              "GenerativeNet", "CompletionNet", "UNet3DModel",
+              # dense conditioned baseline (r2): diffusers-UNet3DCondition
+              # equivalent + dense transformer blocks
+              "UNet3DConditionModel", "DenseAttention",
+              "DenseTransformer3D"]:
         _has(mm, n)
 
 
