@@ -61,9 +61,13 @@ def main():
     if cfg.synthetic or cfg.data is None:
         ds = SyntheticShapes(resolution=cfg.resolution, num_samples=256,
                              points_per_shape=cfg.num_points)
+        # held-out split: same generator family, disjoint seed
+        ds_val = SyntheticShapes(resolution=cfg.resolution, num_samples=64,
+                                 points_per_shape=cfg.num_points, seed=777)
         n_classes = len(ds.CLASSES)
     else:
         ds = ModelNet40Dataset(cfg.data, "train", cfg.resolution)
+        ds_val = ModelNet40Dataset(cfg.data, "test", cfg.resolution)
         n_classes = 40
 
     cap = cfg.batch_size * cfg.num_points
@@ -112,6 +116,24 @@ def main():
 
     step_fn = mtrain.make_train_step(loss_fn)
 
+    @jax.jit
+    def eval_logits(params, batch_stats, cpad, valid, fpad):
+        field = build(cpad, valid, fpad)
+        return net.apply({"params": params, "batch_stats": batch_stats},
+                         field, train=False)
+
+    def evaluate(state):
+        correct = total = 0
+        for i in range(0, len(ds_val) - cfg.batch_size + 1, cfg.batch_size):
+            samples = [ds_val[j] for j in range(i, i + cfg.batch_size)]
+            cpad, valid, fpad, labels = collate(samples)
+            logits = eval_logits(state.params, state.batch_stats,
+                                 jnp.asarray(cpad), jnp.asarray(valid),
+                                 jnp.asarray(fpad))
+            correct += int(np.sum(np.argmax(np.asarray(logits), -1) == labels))
+            total += len(labels)
+        return correct / max(total, 1)
+
     step, t0 = 0, time.time()
     for epoch in range(cfg.max_epochs):
         for samples in batch_iterator(ds, cfg.batch_size, np_rng):
@@ -127,8 +149,12 @@ def main():
                          (time.time() - t0) / 10)
                 t0 = time.time()
             if cfg.steps and step >= cfg.steps:
-                log.info("done (step cap); final loss %.4f", float(loss))
+                val_acc = evaluate(state)
+                log.info("done (step cap); final loss %.4f val_acc %.4f",
+                         float(loss), val_acc)
                 return
+        val_acc = evaluate(state)
+        log.info("epoch %d complete: val_acc %.4f", epoch, val_acc)
 
 
 if __name__ == "__main__":

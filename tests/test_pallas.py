@@ -425,3 +425,74 @@ def test_extract_nbr_matches_kernel_map(rng):
                                      st.grid.coords, st.grid.valid))
     # kernel_map and _extract_nbr agree offset-for-offset (same offset order)
     np.testing.assert_array_equal(nbr, nbr_ref)
+
+
+def test_brick_conv_matches_gather_path(rng):
+    """8³-brick block-sparse conv (ops/brick.py) == the generalized
+    gather-GEMM conv on the same grid (k=3 s=1 bounded)."""
+    from mink_octtree_stablediffusion_tpu.ops import brick as mb
+
+    cap, b, res, cin, cout = 2048, 2, 24, 6, 5
+    n = 1500
+    coords = np.concatenate(
+        [rng.randint(0, b, (n, 1)), rng.randint(0, res, (n, 3))],
+        axis=1).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (rng.randn(cap, cin) * valid[:, None]).astype(np.float32)
+    kernel = rng.randn(27, cin, cout).astype(np.float32) * 0.2
+
+    st = jax.jit(lambda c, v, f: mt.sparse_tensor(
+        c, f, capacity=cap, batch_size=b, valid=v, extent=(res,) * 3))(
+        jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
+    spec = mt.ops.KernelSpec(3, 1, 1, ndim=3)
+    assert mb.brick_applicable(spec, st.grid)
+
+    nbr = mt.ops.kernel_map(st.grid, st.grid, spec)
+    ref = mt.ops.sparse_conv_apply(st.features, jnp.asarray(kernel), nbr)
+
+    got = jax.jit(mb.brick_sparse_conv)(st.features, jnp.asarray(kernel),
+                                        st.grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+    # padding rows stay exactly zero
+    assert float(jnp.abs(got * (~st.valid)[:, None]).sum()) == 0.0
+
+
+def test_brick_roundtrip_and_gradients(rng):
+    from mink_octtree_stablediffusion_tpu.ops import brick as mb
+
+    cap, b, res, c = 512, 2, 16, 4
+    coords = np.concatenate(
+        [rng.randint(0, b, (300, 1)), rng.randint(0, res, (300, 3))],
+        axis=1).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (rng.randn(cap, c) * valid[:, None]).astype(np.float32)
+    st = jax.jit(lambda co, v, f: mt.sparse_tensor(
+        co, f, capacity=cap, batch_size=b, valid=v, extent=(res,) * 3))(
+        jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
+
+    layout = mb.brick_layout(st.grid)
+    back = mb.from_bricks(mb.to_bricks(st.features, layout), layout, st.valid)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(st.features))
+
+    kernel = jnp.asarray(rng.randn(27, c, c).astype(np.float32) * 0.2)
+
+    @jax.jit
+    def loss(f, k):
+        return jnp.sum(mb.brick_sparse_conv(f, k, st.grid) ** 2)
+
+    # grads vs the gather path's grads
+    spec = mt.ops.KernelSpec(3, 1, 1, ndim=3)
+    nbr = mt.ops.kernel_map(st.grid, st.grid, spec)
+
+    @jax.jit
+    def loss_ref(f, k):
+        return jnp.sum(mt.ops.sparse_conv_apply(f, k, nbr) ** 2)
+
+    gf, gk = jax.grad(loss, argnums=(0, 1))(st.features, kernel)
+    gf_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(st.features, kernel)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=2e-3,
+                               atol=2e-3)
+    v = np.asarray(st.valid).astype(bool)
+    np.testing.assert_allclose(np.asarray(gf)[v], np.asarray(gf_r)[v],
+                               rtol=2e-3, atol=2e-3)
