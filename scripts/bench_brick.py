@@ -22,6 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import mink_octtree_stablediffusion_tpu as mt  # noqa: E402
 from mink_octtree_stablediffusion_tpu.ops import brick as mb  # noqa: E402
+from mink_octtree_stablediffusion_tpu.ops import vol_conv as vc  # noqa: E402
 
 N, CAP, CIN, COUT, B, RES = 90000, 131072, 32, 32, 4, 64
 TILE, TW = 128, 256
@@ -74,8 +75,11 @@ def main():
             h = mb.brick_conv_xla(h, ks[i].astype(CD), layout).astype(CD)
         return mb.from_bricks(h, layout, grid.valid).astype(jnp.float32)
 
+    def pallas(f, k, grid):
+        return vc.brick_pallas_conv(f, k, grid, compute_dtype=CD)
+
     variants = {}
-    for name, fn in (("onehot", onehot), ("brick", brick)):
+    for name, fn in (("onehot", onehot), ("brick", brick), ("pallas", pallas)):
         def fwd(f, k, grid, fn=fn):
             return jnp.vdot(fn(f, k, grid), gout) * 1e-9
 
@@ -88,7 +92,13 @@ def main():
 
         variants[f"{name}_fwd"] = ("single", fwd)
         variants[f"{name}_fb"] = ("single", fb)
-    for name, fn in (("onehot", stack_onehot), ("brick", stack_brick)):
+    def stack_pallas(f, ks, grid):
+        for i in range(6):
+            f = pallas(f, ks[i], grid)
+        return f
+
+    for name, fn in (("onehot", stack_onehot), ("brick", stack_brick),
+                     ("pallas", stack_pallas)):
         def sfwd(f, ks, grid, fn=fn):
             return jnp.vdot(fn(f, ks, grid), gout) * 1e-9
         variants[f"{name}_stack"] = ("stack", sfwd)

@@ -496,3 +496,61 @@ def test_brick_roundtrip_and_gradients(rng):
     v = np.asarray(st.valid).astype(bool)
     np.testing.assert_allclose(np.asarray(gf)[v], np.asarray(gf_r)[v],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_vol_conv_pallas_matches_lax_conv(rng):
+    """Pallas dense-volume conv (interpret) == lax.conv SAME (fp32)."""
+    from mink_octtree_stablediffusion_tpu.ops import vol_conv as vc
+
+    B, R, C, CO = 2, 16, 5, 7
+    vol = rng.randn(B, R, R, R, C).astype(np.float32)
+    ker = (rng.randn(27, C, CO) * 0.2).astype(np.float32)
+    out = vc.vol_conv(jnp.asarray(vol), jnp.asarray(ker),
+                      compute_dtype=jnp.float32, interpret=True)
+    rhs = ker.reshape(3, 3, 3, C, CO)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(vol), jnp.asarray(rhs), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_brick_pallas_conv_matches_gather_path_with_grads(rng):
+    """Differentiable sparse wrapper of the Pallas volume conv == the
+    gather-GEMM conv, forward and both gradients (interpret mode)."""
+    from mink_octtree_stablediffusion_tpu.ops import vol_conv as vc
+
+    cap, b, res, cin, cout = 1024, 2, 16, 6, 5
+    coords = np.concatenate([rng.randint(0, b, (700, 1)),
+                             rng.randint(0, res, (700, 3))],
+                            1).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (rng.randn(cap, cin) * valid[:, None]).astype(np.float32)
+    kernel = (rng.randn(27, cin, cout) * 0.2).astype(np.float32)
+    st = jax.jit(lambda c, v, f: mt.sparse_tensor(
+        c, f, capacity=cap, batch_size=b, valid=v, extent=(res,) * 3))(
+        jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
+    spec = mt.ops.KernelSpec(3, 1, 1, ndim=3)
+    assert vc.brick_pallas_applicable(spec, st.grid)
+
+    nbr = mt.ops.kernel_map(st.grid, st.grid, spec)
+    ref = mt.ops.sparse_conv_apply(st.features, jnp.asarray(kernel), nbr)
+    got = vc.brick_pallas_conv(st.features, jnp.asarray(kernel), st.grid,
+                               compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+    def loss(f, k):
+        return jnp.sum(vc.brick_pallas_conv(
+            f, k, st.grid, compute_dtype=jnp.float32, interpret=True) ** 2)
+
+    def loss_ref(f, k):
+        return jnp.sum(mt.ops.sparse_conv_apply(f, k, nbr) ** 2)
+
+    gf, gk = jax.grad(loss, (0, 1))(st.features, jnp.asarray(kernel))
+    gf_r, gk_r = jax.grad(loss_ref, (0, 1))(st.features, jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=2e-3,
+                               atol=2e-3)
+    v = np.asarray(st.valid).astype(bool)
+    np.testing.assert_allclose(np.asarray(gf)[v], np.asarray(gf_r)[v],
+                               rtol=2e-3, atol=2e-3)
