@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_points", type=int, default=2048)
+    p.add_argument("--voxel_size", type=float, default=0.05,
+                   help="unit-sphere points are divided by this before "
+                        "quantization (reference --voxel_size, "
+                        "classification_modelnet40.py:48,286)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--steps", type=int, default=0)
@@ -81,7 +85,12 @@ def main():
     def collate(samples):
         xyzs = [s["xyz"][:cfg.num_points] for s in samples]
         feats = [x.astype(np.float32) for x in xyzs]  # xyz as features
-        cpad, valid, fpad = collate_fields(xyzs, feats, cap)
+        # scale to voxel units BEFORE quantization — the reference divides
+        # coordinates by voxel_size (`create_input_batch`, :286); feeding
+        # unit-scale points collapses every shape into ~3^3 voxels and the
+        # classifier stays at chance
+        coords = [x / cfg.voxel_size for x in xyzs]
+        cpad, valid, fpad = collate_fields(coords, feats, cap)
         labels = np.array([s["label"] for s in samples], np.int32)
         return cpad, valid, fpad, labels
 

@@ -41,6 +41,7 @@ from ..ops.dense_conv import (dense_conv_applicable, dense_conv_apply,
                               dense_no_growth_preferred2)
 from ..ops.conv import default_compute_dtype
 from ..ops import onehot_conv as _oh
+from ..ops import vol_conv as _vc
 from ..tensor import SparseTensor
 
 Size = Union[int, Tuple[int, ...]]
@@ -108,6 +109,18 @@ class SparseConv(nn.Module):
             out = dense_conv_general_apply(x.features, kernel, x.grid,
                                            out_grid, spec, bias,
                                            compute_dtype=cd)
+            return SparseTensor(grid=out_grid, features=out).mask_features()
+        # Pallas dense-volume (brick) conv: at fine strides the occupied
+        # set is locally dense and the bounded volume is small — one halo
+        # window DMA per 8^3 tile + 27 MXU GEMMs beats the one-hot conv's
+        # search + gather-as-matmul tax at narrow widths (ops.vol_conv)
+        if (out_grid is x.grid and
+                _vc.brick_preferred(spec, x.grid, cin, self.out_channels)):
+            out = _vc.brick_pallas_conv(
+                x.features, kernel, x.grid,
+                compute_dtype=cd or x.features.dtype)
+            if bias is not None:
+                out = out + bias
             return SparseTensor(grid=out_grid, features=out).mask_features()
         # fused Pallas one-hot conv: kernel-map search + gather + GEMM in one
         # kernel — the TPU fast path for bounded grids (ops.onehot_conv)

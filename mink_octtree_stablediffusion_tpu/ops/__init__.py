@@ -27,6 +27,12 @@ from .morton import morton_decode, morton_encode, morton_encode_np
 from .lut import LUT_MAX_ENTRIES, build_lut, lut_lookup
 from .neighbors import get_coords_map, grid_lookup, identity_map, kernel_map, membership
 from .onehot_conv import fused_sparse_conv, onehot_sparse_conv, use_onehot_conv
+# NB: alias the dense entry as vol_conv3d — importing the name `vol_conv`
+# here would rebind the package attribute from the SUBMODULE to the
+# function and break `from ops import vol_conv as module` users
+from .vol_conv import brick_pallas_conv, enable_brick_conv
+from .vol_conv import vol_conv as vol_conv3d
+from .brick import brick_sparse_conv
 from .search import lookup_sorted
 from .pool import broadcast_batch, global_pool, local_pool_apply
 from .pruning import prune, top_k_mask
@@ -47,4 +53,6 @@ __all__ = [
     "local_pool_apply", "prune", "top_k_mask", "coo_spmm", "reduce_by_inverse",
     "slice_by_inverse", "union", "default_compute_dtype", "set_default_compute_dtype",
     "fused_sparse_conv", "onehot_sparse_conv", "use_onehot_conv",
+    "brick_pallas_conv", "enable_brick_conv", "vol_conv3d",
+    "brick_sparse_conv",
 ]

@@ -39,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 T = 8  # output tile side (8³ = 512 rows = 4 sublane tiles)
 W = T + 2  # input window side for k=3
+WZ = 16  # z window depth: Mosaic requires 8-aligned slices on the sublane
+# (second-minor) dim of an HBM memref, so the z-window starts at the
+# 8-aligned tile base and DMAs 16 rows (10 used, 6 waste) — x/y are outer
+# dims and slice freely at 10
 
 
 def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
@@ -55,7 +59,7 @@ def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
     def dma(slot, tt):
         b, x0, y0, z0 = tile_origin(tt)
         return pltpu.make_async_copy(
-            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), pl.ds(z0, W), :],
+            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), pl.ds(z0, WZ), :],
             win.at[slot],
             sem.at[slot],
         )
@@ -96,7 +100,8 @@ def vol_conv_tiles(volp: jnp.ndarray, kernel: jnp.ndarray,
     X, Y, Z must be multiples of 8.
     """
     b = volp.shape[0]
-    x, y, z = (s - 2 for s in volp.shape[1:4])
+    x, y = volp.shape[1] - 2, volp.shape[2] - 2
+    z = volp.shape[3] - 8  # pad_volume pads z+2 → z+8 for aligned z DMA
     cp = volp.shape[-1]
     co = kernel.shape[-1]
     assert x % T == y % T == z % T == 0, (x, y, z)
@@ -113,7 +118,7 @@ def vol_conv_tiles(volp: jnp.ndarray, kernel: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, T ** 3, co), lambda t: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, W, W, W, cp), cd),
+            pltpu.VMEM((2, W, W, WZ, cp), cd),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -127,11 +132,13 @@ def vol_conv_tiles(volp: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def pad_volume(vol: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[B, X, Y, Z, C] → spatially 1-padded, channel 128-padded, cast."""
+    """[B, X, Y, Z, C] → spatially 1-padded (z tail-padded to Z+8 so every
+    16-deep z-window DMA stays in bounds at an 8-aligned offset), channel
+    128-padded, cast."""
     c = vol.shape[-1]
     cp = max(-(-c // 128) * 128, 128)
     return jnp.pad(vol.astype(compute_dtype),
-                   ((0, 0), (1, 1), (1, 1), (1, 1), (0, cp - c)))
+                   ((0, 0), (1, 1), (1, 1), (1, 7), (0, cp - c)))
 
 
 def pad_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
@@ -211,7 +218,8 @@ def vol_conv_dw(volp: jnp.ndarray, g_tiles: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """dW [27, CP, Co] fp32 from the padded volume and brick-order grads."""
     b = volp.shape[0]
-    x, y, z = (s - 2 for s in volp.shape[1:4])
+    x, y = volp.shape[1] - 2, volp.shape[2] - 2
+    z = volp.shape[3] - 8
     cp = volp.shape[-1]
     co = g_tiles.shape[-1]
     bd = (x // T, y // T, z // T)
@@ -227,7 +235,7 @@ def vol_conv_dw(volp: jnp.ndarray, g_tiles: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((27, cp, co), lambda t: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, W, W, W, cp), cd),
+            pltpu.VMEM((2, W, W, WZ, cp), cd),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -348,3 +356,31 @@ def brick_pallas_conv(features: jnp.ndarray, kernel: jnp.ndarray, grid,
               tuple(int(e) for e in grid.extent),
               jnp.dtype(compute_dtype).name, interpret)
     return _brick_conv(static, features, kernel, grid.coords, grid.valid)
+
+
+# ---------------------------------------------------------------------------
+# Routing gate (mirrors ops.onehot_conv.enabled / ops.dense_conv flags)
+# ---------------------------------------------------------------------------
+
+_BRICK_ENABLED = False
+
+
+def enable_brick_conv(flag: bool) -> None:
+    """Route applicable narrow-channel self-grid convs through the Pallas
+    dense-volume kernel (A/B gate; default off until on-chip validation)."""
+    global _BRICK_ENABLED
+    _BRICK_ENABLED = flag
+
+
+def brick_preferred(spec, grid, cin: int, cout: int) -> bool:
+    """Where this kernel beats the one-hot conv: k=3 s=1 self-grid convs at
+    narrow widths (the finest octree levels) on bounded 8-aligned extents.
+    Wide layers keep the one-hot path (its window cost amortizes and the
+    dense volume would not fit VMEM blocking at cout > 128)."""
+    import jax
+
+    if not _BRICK_ENABLED or jax.default_backend() == "cpu":
+        return False
+    if cin > 128 or cout > 128:
+        return False
+    return brick_pallas_applicable(spec, grid)

@@ -30,8 +30,12 @@ VAE_KW = dict(channels=(8, 16, 16, 16, 4),
               decoder_capacities=(32, 256, 1024, 4096))
 
 
-def test_vae_forward_and_loss(rng):
-    st = sphere_tensor(rng)
+@pytest.fixture(scope="module")
+def vae_env():
+    """Shared VAE build: init + one jitted forward — the VAE tests reuse
+    these instead of re-compiling per test (CPU-suite wall-clock,
+    VERDICT r1 item 6)."""
+    st = sphere_tensor(np.random.RandomState(0))
     vae = mm.VAE(**VAE_KW)
     variables = jax.jit(vae.init)(jax.random.PRNGKey(0), st, st.grid,
                                   jax.random.PRNGKey(1))
@@ -43,6 +47,11 @@ def test_vae_forward_and_loss(rng):
         return loss, aux, sout, targets
 
     loss, aux, sout, targets = jax.jit(run)(variables, st)
+    return st, vae, variables, (loss, aux, sout, targets)
+
+
+def test_vae_forward_and_loss(vae_env):
+    st, vae, variables, (loss, aux, sout, targets) = vae_env
     assert np.isfinite(float(loss))
     assert float(aux["bce"]) > 0
     # training decode force-keeps targets → final level has >= target voxels
@@ -50,11 +59,8 @@ def test_vae_forward_and_loss(rng):
     assert sout.tensor_stride == (1, 1, 1)
 
 
-def test_vae_grads_finite(rng):
-    st = sphere_tensor(rng)
-    vae = mm.VAE(**VAE_KW)
-    variables = jax.jit(vae.init)(jax.random.PRNGKey(0), st, st.grid,
-                                  jax.random.PRNGKey(1))
+def test_vae_grads_finite(vae_env):
+    st, vae, variables, _ = vae_env
 
     def loss_fn(params, s):
         (out_clss, targets, _, mean, log_var, _), _ = vae.apply(
@@ -145,6 +151,19 @@ UNET_KW = dict(channels=(4, 8, 16, 16), attn_max_len=64,
                down_capacities=(32, 16, 8), group=4)
 
 
+@pytest.fixture(scope="module")
+def unet_env():
+    """Shared UNet build: one init + one jitted plain forward, reused by
+    the grid-invariant, diffusion-loss and remat tests (each used to
+    recompile the same ~70s graphs — the suite's top wall-clock items)."""
+    lat = latent_tensor(np.random.RandomState(0))
+    unet = mm.UNet(**UNET_KW)
+    t0 = jnp.zeros((2,), jnp.int32)
+    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t0)
+    out = jax.jit(lambda v, x, t: unet.apply(v, x, t))(variables, lat, t0)
+    return lat, unet, variables, out
+
+
 def latent_tensor(rng, b=2, cap=64, c=4, stride=8, res=4):
     vox = [np.unique(rng.randint(0, res, (20, 3)), axis=0) * stride
            for _ in range(b)]
@@ -156,12 +175,8 @@ def latent_tensor(rng, b=2, cap=64, c=4, stride=8, res=4):
         jnp.asarray(cpad), jnp.asarray(feats), jnp.asarray(vpad))
 
 
-def test_unet_preserves_grid(rng):
-    lat = latent_tensor(rng)
-    unet = mm.UNet(**UNET_KW)
-    t = jnp.zeros((2,), jnp.int32)
-    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t)
-    out = jax.jit(lambda v, x, t: unet.apply(v, x, t))(variables, lat, t)
+def test_unet_preserves_grid(unet_env):
+    lat, unet, variables, out = unet_env
     # epsilon-prediction invariant: output coords == input coords
     # (`diffusion.py:473` asserts the same)
     np.testing.assert_array_equal(np.asarray(out.C), np.asarray(lat.C))
@@ -170,11 +185,8 @@ def test_unet_preserves_grid(rng):
     assert np.all(np.isfinite(np.asarray(out.F)))
 
 
-def test_diffusion_loss_and_sample(rng):
-    lat = latent_tensor(rng)
-    unet = mm.UNet(**UNET_KW)
-    t0 = jnp.zeros((2,), jnp.int32)
-    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t0)
+def test_diffusion_loss_and_sample(unet_env):
+    lat, unet, variables, _ = unet_env
     sched = md.DDPMScheduler.create(num_train_timesteps=100)
 
     def unet_apply(noised, timesteps, ehs):
@@ -223,7 +235,7 @@ def test_sample_latent_cfg(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_unet_remat_forward(rng):
+def test_unet_remat_forward(unet_env):
     # `remat=True` must compose with the UNet's grid plumbing: lifted remat
     # re-flattens module outputs into fresh pytrees, so the pinned skip grids
     # have to be rebound for `cat`'s identity contract.  Parameter structure
@@ -231,13 +243,10 @@ def test_unet_remat_forward(rng):
     # noise.  (Bit-level fwd+grad equivalence of a remat'd stack is covered
     # at stack scale in test_nn.py — full-UNet grad compiles are the CPU
     # suite's long pole.)
-    lat = latent_tensor(rng)
+    lat, unet, variables, out = unet_env
     t0 = jnp.zeros((2,), jnp.int32)
-    unet = mm.UNet(**UNET_KW)
     unet_r = mm.UNet(**UNET_KW, remat=True)
-    variables = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, t0)
-    out = jax.jit(lambda v, x: unet.apply(v, x, t0).features)(variables, lat)
     out_r = jax.jit(lambda v, x: unet_r.apply(v, x, t0).features)(
         variables, lat)
-    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), rtol=1e-4,
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out.features),
+                               rtol=1e-4, atol=1e-5)
