@@ -84,12 +84,13 @@ def main():
 
     def collate(samples):
         xyzs = [s["xyz"][:cfg.num_points] for s in samples]
-        feats = [x.astype(np.float32) for x in xyzs]  # xyz as features
-        # scale to voxel units BEFORE quantization — the reference divides
-        # coordinates by voxel_size (`create_input_batch`, :286); feeding
-        # unit-scale points collapses every shape into ~3^3 voxels and the
-        # classifier stays at chance
-        coords = [x / cfg.voxel_size for x in xyzs]
+        # reference semantics (`create_input_batch`, :286): unit-sphere
+        # points as FEATURES, point/voxel_size as quantization COORDS.
+        # Dataset xyz is resolution-scaled, so normalize to [-1, 1] first.
+        unit = [(x / cfg.resolution * 2.0 - 1.0).astype(np.float32)
+                for x in xyzs]
+        feats = unit
+        coords = [u / cfg.voxel_size for u in unit]
         cpad, valid, fpad = collate_fields(coords, feats, cap)
         labels = np.array([s["label"] for s in samples], np.int32)
         return cpad, valid, fpad, labels

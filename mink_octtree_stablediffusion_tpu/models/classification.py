@@ -79,17 +79,27 @@ class MinkowskiFCNN(nn.Module):
         x = _MLPBlock(ch[0], self.axis_name, name="mlp1")(field, train)
         y, _ = x.sparse(capacity=self.voxel_capacity)
 
-        caps = [max(self.voxel_capacity // (8 ** i), 64) for i in range(5)]
-        pool = lambda cap: LocalPool(kernel_size=3, stride=2, mode="max",
-                                     out_capacity=cap)
+        # Level capacities by STRIDE level l (stride 2^l): sampled point
+        # clouds merge <2x on the first stride doublings (512 points of a
+        # unit sphere at 0.05 voxels occupy ~80% as many stride-2 cells),
+        # so early levels keep the full budget and the decay starts at s8.
+        # The old cap//8^level schedule overflowed the FIRST pool ~5x, and
+        # overflow drops rows in key order — batch 0 sorts first, so every
+        # other instance lost ALL its voxels and the classifier sat at
+        # chance while batch 0 carried the loss (r2 debugging).
+        def lcap(l: int) -> int:
+            return max(self.voxel_capacity >> max(l - 2, 0), 128)
+
+        pool = lambda l: LocalPool(kernel_size=3, stride=2, mode="max",
+                                   out_capacity=lcap(l))
         y = _ConvBlock(ch[1], 3, 1, axis_name=self.axis_name, name="conv1")(y, train)
-        y1 = pool(caps[1])(y)
-        y = _ConvBlock(ch[2], 3, 2, caps[1], self.axis_name, name="conv2")(y1, train)
-        y2 = pool(caps[2])(y)
-        y = _ConvBlock(ch[3], 3, 2, caps[2], self.axis_name, name="conv3")(y2, train)
-        y3 = pool(caps[3])(y)
-        y = _ConvBlock(ch[4], 3, 2, caps[3], self.axis_name, name="conv4")(y3, train)
-        y4 = pool(caps[4])(y)
+        y1 = pool(1)(y)                                              # s2
+        y = _ConvBlock(ch[2], 3, 2, lcap(2), self.axis_name, name="conv2")(y1, train)
+        y2 = pool(3)(y)                                              # s8
+        y = _ConvBlock(ch[3], 3, 2, lcap(4), self.axis_name, name="conv3")(y2, train)
+        y3 = pool(5)(y)                                              # s32
+        y = _ConvBlock(ch[4], 3, 2, lcap(6), self.axis_name, name="conv4")(y3, train)
+        y4 = pool(7)(y)                                              # s128
 
         feats = jnp.concatenate(
             [field_slice(t, field) for t in (y1, y2, y3, y4)], axis=-1)
@@ -97,9 +107,9 @@ class MinkowskiFCNN(nn.Module):
         y, _ = xcat.sparse(capacity=self.voxel_capacity)
 
         ec = self.embedding_channel
-        y = _ConvBlock(ec // 4, 3, 2, caps[1], self.axis_name, name="conv5_0")(y, train)
-        y = _ConvBlock(ec // 2, 3, 2, caps[2], self.axis_name, name="conv5_1")(y, train)
-        y = _ConvBlock(ec, 3, 2, caps[3], self.axis_name, name="conv5_2")(y, train)
+        y = _ConvBlock(ec // 4, 3, 2, lcap(1), self.axis_name, name="conv5_0")(y, train)
+        y = _ConvBlock(ec // 2, 3, 2, lcap(2), self.axis_name, name="conv5_1")(y, train)
+        y = _ConvBlock(ec, 3, 2, lcap(3), self.axis_name, name="conv5_2")(y, train)
 
         g = jnp.concatenate([global_pool_features(y, "max"),
                              global_pool_features(y, "avg")], axis=-1)
@@ -125,17 +135,21 @@ class MinkowskiSplatFCNN(MinkowskiFCNN):
         x = _MLPBlock(ch[0], self.axis_name, name="mlp1")(field, train)
         y = x.splat(capacity=self.voxel_capacity)
 
-        caps = [max(self.voxel_capacity // (8 ** i), 64) for i in range(5)]
-        pool = lambda cap: LocalPool(kernel_size=3, stride=2, mode="max",
-                                     out_capacity=cap)
+        # same stride-indexed schedule as MinkowskiFCNN (see the capacity
+        # note there — the 8^level decay starved every instance but batch 0)
+        def lcap(l: int) -> int:
+            return max(self.voxel_capacity >> max(l - 2, 0), 128)
+
+        pool = lambda l: LocalPool(kernel_size=3, stride=2, mode="max",
+                                   out_capacity=lcap(l))
         y = _ConvBlock(ch[1], 3, 1, axis_name=self.axis_name, name="conv1")(y, train)
-        y1 = pool(caps[1])(y)
-        y = _ConvBlock(ch[2], 3, 2, caps[1], self.axis_name, name="conv2")(y1, train)
-        y2 = pool(caps[2])(y)
-        y = _ConvBlock(ch[3], 3, 2, caps[2], self.axis_name, name="conv3")(y2, train)
-        y3 = pool(caps[3])(y)
-        y = _ConvBlock(ch[4], 3, 2, caps[3], self.axis_name, name="conv4")(y3, train)
-        y4 = pool(caps[4])(y)
+        y1 = pool(1)(y)
+        y = _ConvBlock(ch[2], 3, 2, lcap(2), self.axis_name, name="conv2")(y1, train)
+        y2 = pool(3)(y)
+        y = _ConvBlock(ch[3], 3, 2, lcap(4), self.axis_name, name="conv3")(y2, train)
+        y3 = pool(5)(y)
+        y = _ConvBlock(ch[4], 3, 2, lcap(6), self.axis_name, name="conv4")(y3, train)
+        y4 = pool(7)(y)
 
         from ..tensor import interpolate_at
         feats = jnp.concatenate(
@@ -145,9 +159,9 @@ class MinkowskiSplatFCNN(MinkowskiFCNN):
         y = xcat.splat(capacity=self.voxel_capacity)
 
         ec = self.embedding_channel
-        y = _ConvBlock(ec // 4, 3, 2, caps[1], self.axis_name, name="conv5_0")(y, train)
-        y = _ConvBlock(ec // 2, 3, 2, caps[2], self.axis_name, name="conv5_1")(y, train)
-        y = _ConvBlock(ec, 3, 2, caps[3], self.axis_name, name="conv5_2")(y, train)
+        y = _ConvBlock(ec // 4, 3, 2, lcap(1), self.axis_name, name="conv5_0")(y, train)
+        y = _ConvBlock(ec // 2, 3, 2, lcap(2), self.axis_name, name="conv5_1")(y, train)
+        y = _ConvBlock(ec, 3, 2, lcap(3), self.axis_name, name="conv5_2")(y, train)
 
         g = jnp.concatenate([global_pool_features(y, "max"),
                              global_pool_features(y, "avg")], axis=-1)

@@ -45,21 +45,22 @@ WZ = 16  # z window depth: Mosaic requires 8-aligned slices on the sublane
 # dims and slice freely at 10
 
 
-def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
-    """One 8³ tile per grid step; window DMA double-buffered across steps."""
+def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ncols, bd, zc, zp, cp, co,
+            cd):
+    """One full z-COLUMN of 8³ tiles per grid step (amortizes per-program
+    overhead ~bz×); window DMA double-buffered across steps."""
     t = pl.program_id(0)
     bx, by, bz = bd
 
-    def tile_origin(tt):
-        b, rem = tt // (bx * by * bz), tt % (bx * by * bz)
-        x, rem = rem // (by * bz), rem % (by * bz)
-        y, z = rem // bz, rem % bz
-        return b, x * T, y * T, z * T
+    def col_origin(tt):
+        b, rem = tt // (bx * by), tt % (bx * by)
+        x, y = rem // by, rem % by
+        return b, x * T, y * T
 
     def dma(slot, tt):
-        b, x0, y0, z0 = tile_origin(tt)
+        b, x0, y0 = col_origin(tt)
         return pltpu.make_async_copy(
-            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), pl.ds(z0, WZ), :],
+            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), :, :],
             win.at[slot],
             sem.at[slot],
         )
@@ -68,25 +69,28 @@ def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
     def _():
         dma(0, 0).start()
 
-    @pl.when(t + 1 < ntiles)
+    @pl.when(t + 1 < ncols)
     def _():
         dma((t + 1) % 2, t + 1).start()
 
     dma(t % 2, t).wait()
     w = win[t % 2]
 
-    acc = jnp.zeros((T ** 3, co), jnp.float32)
+    acc = jnp.zeros((T * T * zc, co), jnp.float32)
     k = 0
     for dx in (0, 1, 2):
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
-                slab = w[dx:dx + T, dy:dy + T, dz:dz + T, :]
-                lhs = slab.reshape(T ** 3, cp)
+                slab = w[dx:dx + T, dy:dy + T, dz:dz + zc, :]
+                lhs = slab.reshape(T * T * zc, cp)
                 acc = acc + jax.lax.dot(
                     lhs, w_ref[k],
                     preferred_element_type=jnp.float32)
                 k += 1
-    out_ref[...] = acc[None]
+    # rows are (x, y, zz) — regroup to brick order (ztile, x, y, zl): the
+    # out block is [bz, 512, co] and brick row = (x*8 + y)*8 + zl
+    a4 = acc.reshape(T * T, bz, T, co).transpose(1, 0, 2, 3)
+    out_ref[...] = a4.reshape(bz, T * T * T, co)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -101,29 +105,32 @@ def vol_conv_tiles(volp: jnp.ndarray, kernel: jnp.ndarray,
     """
     b = volp.shape[0]
     x, y = volp.shape[1] - 2, volp.shape[2] - 2
-    z = volp.shape[3] - 8  # pad_volume pads z+2 → z+8 for aligned z DMA
+    zp = volp.shape[3]  # pad_volume pads z+2 → z+8 for aligned z DMA
+    z = zp - 8
     cp = volp.shape[-1]
     co = kernel.shape[-1]
     assert x % T == y % T == z % T == 0, (x, y, z)
     bd = (x // T, y // T, z // T)
     ntiles = b * bd[0] * bd[1] * bd[2]
+    ncols = b * bd[0] * bd[1]
     cd = volp.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(ntiles,),
+        grid=(ncols,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # volume stays in HBM
             pl.BlockSpec((27, cp, co), lambda t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T ** 3, co), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((bd[2], T ** 3, co), lambda t: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, W, W, WZ, cp), cd),
+            pltpu.VMEM((2, W, W, zp, cp), cd),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ntiles=ntiles, bd=bd, cp=cp, co=co, cd=cd),
+        functools.partial(_kernel, ncols=ncols, bd=bd, zc=z, zp=zp, cp=cp,
+                          co=co, cd=cd),
         out_shape=jax.ShapeDtypeStruct((ntiles, T ** 3, co), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -161,22 +168,22 @@ def vol_conv(vol: jnp.ndarray, kernel: jnp.ndarray,
     return t5.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, x, y, z, co)
 
 
-def _dw_kernel(vol_ref, g_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
-    """dW[k] = Σ_tiles slab_k(tile)ᵀ · g(tile) — same windows as forward,
-    fp32 accumulation into the single (grid-constant) output block."""
+def _dw_kernel(vol_ref, g_ref, out_ref, win, sem, *, ncols, bd, zc, zp, cp,
+               co, cd):
+    """dW[k] = Σ_columns slab_k(col)ᵀ · g(col) — same z-column windows as
+    forward, fp32 accumulation into the single (grid-constant) block."""
     t = pl.program_id(0)
     bx, by, bz = bd
 
-    def tile_origin(tt):
-        b, rem = tt // (bx * by * bz), tt % (bx * by * bz)
-        x, rem = rem // (by * bz), rem % (by * bz)
-        y, z = rem // bz, rem % bz
-        return b, x * T, y * T, z * T
+    def col_origin(tt):
+        b, rem = tt // (bx * by), tt % (bx * by)
+        x, y = rem // by, rem % by
+        return b, x * T, y * T
 
     def dma(slot, tt):
-        b, x0, y0, z0 = tile_origin(tt)
+        b, x0, y0 = col_origin(tt)
         return pltpu.make_async_copy(
-            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), pl.ds(z0, W), :],
+            vol_ref.at[b, pl.ds(x0, W), pl.ds(y0, W), :, :],
             win.at[slot],
             sem.at[slot],
         )
@@ -185,20 +192,23 @@ def _dw_kernel(vol_ref, g_ref, out_ref, win, sem, *, ntiles, bd, cp, co, cd):
     def _():
         dma(0, 0).start()
 
-    @pl.when(t + 1 < ntiles)
+    @pl.when(t + 1 < ncols)
     def _():
         dma((t + 1) % 2, t + 1).start()
 
     dma(t % 2, t).wait()
     w = win[t % 2]
-    g0 = g_ref[0]  # [512, Co]
+    # g arrives in brick order (ztile, (x,y), zl) — reorder to the window's
+    # (x, y, zz) row order
+    g0 = g_ref[...].reshape(bz, T * T, T, co).transpose(1, 0, 2, 3) \
+        .reshape(T * T * zc, co)
 
     parts = []
     for dx in (0, 1, 2):
         for dy in (0, 1, 2):
             for dz in (0, 1, 2):
-                slab = w[dx:dx + T, dy:dy + T, dz:dz + T, :]
-                lhs = slab.reshape(T ** 3, cp)
+                slab = w[dx:dx + T, dy:dy + T, dz:dz + zc, :]
+                lhs = slab.reshape(T * T * zc, cp)
                 parts.append(jax.lax.dot_general(
                     lhs, g0, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
@@ -219,29 +229,30 @@ def vol_conv_dw(volp: jnp.ndarray, g_tiles: jnp.ndarray,
     """dW [27, CP, Co] fp32 from the padded volume and brick-order grads."""
     b = volp.shape[0]
     x, y = volp.shape[1] - 2, volp.shape[2] - 2
-    z = volp.shape[3] - 8
+    zp = volp.shape[3]
+    z = zp - 8
     cp = volp.shape[-1]
     co = g_tiles.shape[-1]
     bd = (x // T, y // T, z // T)
-    ntiles = b * bd[0] * bd[1] * bd[2]
+    ncols = b * bd[0] * bd[1]
     cd = volp.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(ntiles,),
+        grid=(ncols,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, T ** 3, co), lambda t: (t, 0, 0)),
+            pl.BlockSpec((bd[2], T ** 3, co), lambda t: (t, 0, 0)),
         ],
         out_specs=pl.BlockSpec((27, cp, co), lambda t: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, W, W, WZ, cp), cd),
+            pltpu.VMEM((2, W, W, zp, cp), cd),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_dw_kernel, ntiles=ntiles, bd=bd, cp=cp, co=co,
-                          cd=cd),
+        functools.partial(_dw_kernel, ncols=ncols, bd=bd, zc=z, zp=zp, cp=cp,
+                          co=co, cd=cd),
         out_shape=jax.ShapeDtypeStruct((27, cp, co), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -272,18 +283,21 @@ def _brick_impl(static, features, kernel, coords, valid):
     cells = [-(-int(e) // int(s)) for e, s in zip(extent, stride)]
     sa = jnp.asarray(np.asarray(stride, np.int32))
     pos = jnp.floor_divide(coords[:, 1:], sa)
-    # dense volume scatter (cells are multiples of 8 by applicability)
-    total = bsz * int(np.prod(cells))
+    # scatter rows DIRECTLY into the spatially-padded, 128-lane volume (one
+    # pass — a separate jnp.pad re-writes the whole ~300MB volume)
+    c = features.shape[1]
+    cp = max(-(-c // 128) * 128, 128)
+    pdims = (cells[0] + 2, cells[1] + 2, cells[2] + 8)
+    total = bsz * int(np.prod(pdims))
     flat = coords[:, 0]
-    for i, c in enumerate(cells):
-        flat = flat * c + jnp.clip(pos[:, i], 0, c - 1)
+    for i, (cl, pd) in enumerate(zip(cells, pdims)):
+        flat = flat * pd + jnp.clip(pos[:, i], 0, cl - 1) + 1
     dest = jnp.where(valid, flat, total)
-    dense = jnp.zeros((total + 1, features.shape[1]), features.dtype)
-    dense = dense.at[dest].set(
-        features * valid[:, None].astype(features.dtype))
-    vol = dense[:total].reshape((bsz,) + tuple(cells) + (-1,))
+    fpad = jnp.pad(features.astype(cd), ((0, 0), (0, cp - c)))
+    dense = jnp.zeros((total + 1, cp), cd)
+    dense = dense.at[dest].set(fpad * valid[:, None].astype(cd))
+    volp = dense[:total].reshape((bsz,) + pdims + (cp,))
 
-    volp = pad_volume(vol, cd)
     tiles = vol_conv_tiles(volp, pad_kernel(kernel).astype(cd),
                            interpret=interpret)
 
