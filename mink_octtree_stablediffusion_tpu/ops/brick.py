@@ -96,11 +96,13 @@ def to_bricks(features: jnp.ndarray, layout: BrickLayout) -> jnp.ndarray:
 
 def from_bricks(bricks: jnp.ndarray, layout: BrickLayout,
                 valid: jnp.ndarray) -> jnp.ndarray:
-    """Dense bricks back to rows; padding rows read the sentinel → zeros."""
-    padded = jnp.concatenate(
-        [bricks, jnp.zeros((1,) + bricks.shape[1:], bricks.dtype)], axis=0)
-    out = padded[layout.slot, layout.within]
-    return out * valid[:, None].astype(out.dtype)
+    """Dense bricks back to rows; padding rows (slot == nb sentinel) read a
+    clamped slot and are masked — no sentinel row is materialized (a
+    concat-with-zero-row would copy the whole [nb, 512, C] array)."""
+    slot = jnp.clip(layout.slot, 0, layout.nb - 1)
+    out = bricks[slot, layout.within]
+    ok = valid & (layout.slot < layout.nb)
+    return out * ok[:, None].astype(out.dtype)
 
 
 def _neighbor_slots(layout: BrickLayout) -> jnp.ndarray:

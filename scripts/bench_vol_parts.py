@@ -65,20 +65,21 @@ def main():
         dense = dense.at[dest].set(fpad * st.valid[:, None].astype(CD))
         return dense[:total].reshape((B,) + pdims + (128,))
 
-    def gather(st):
+    def gather(st, gt):
         layout = mb.brick_layout(st.grid)
-        return mb.from_bricks(gt0, layout, st.valid)
+        return mb.from_bricks(gt, layout, st.valid)
 
     modes = {
-        "scatter": lambda st: jnp.sum(scatter(st).astype(jnp.float32)) * 1e-9,
-        "kernel": lambda st: (jnp.vdot(
+        "scatter": lambda st, vp, gt: jnp.sum(
+            scatter(st).astype(jnp.float32)) * 1e-9,
+        "kernel": lambda st, vp, gt: (jnp.vdot(
             vc.vol_conv_tiles(
-                volp0 + st.features[0, 0].astype(CD) * 0, kp).reshape(-1, CO),
-            gt0.reshape(-1, CO)) * 1e-9),
-        "dwkernel": lambda st: jnp.sum(vc.vol_conv_dw(
-            volp0 + st.features[0, 0].astype(CD) * 0, gt0)) * 1e-9,
-        "gather": lambda st: jnp.vdot(gather(st), gout) * 1e-9,
-        "full": lambda st: jnp.vdot(
+                vp + st.features[0, 0].astype(CD) * 0, kp).reshape(-1, CO),
+            gt.reshape(-1, CO)) * 1e-9),
+        "dwkernel": lambda st, vp, gt: jnp.sum(vc.vol_conv_dw(
+            vp + st.features[0, 0].astype(CD) * 0, gt)) * 1e-9,
+        "gather": lambda st, vp, gt: jnp.vdot(gather(st, gt), gout) * 1e-9,
+        "full": lambda st, vp, gt: jnp.vdot(
             vc.brick_pallas_conv(st.features, kern0, st.grid,
                                  compute_dtype=CD), gout) * 1e-9,
     }
@@ -86,27 +87,29 @@ def main():
     for mode in (sys.argv[1:] or list(modes)):
         fn = modes[mode]
 
-        def run(c, v):
+        def run(c, v, volp0, gt0):
             st = mt.sparse_tensor(c, feats0, capacity=CAP, valid=v,
                                   batch_size=B, extent=(RES,) * 3)
-            return fn(st).astype(jnp.float32)
+            return fn(st, volp0, gt0).astype(jnp.float32)
 
         def chain(steps):
+            # big static tensors travel as ARGUMENTS: closure constants get
+            # serialized into the remote-compile request (HTTP 413)
             @jax.jit
-            def f(cs, vs):
+            def f(cs, vs, volp0, gt0):
                 def body(acc, xs):
                     c, v = xs
                     c = c + (acc.astype(jnp.int32) & 0)
-                    return acc + run(c, v), None
+                    return acc + run(c, v, volp0, gt0), None
                 a, _ = jax.lax.scan(body, jnp.float32(0.),
                                     (cs[:steps], vs[:steps]))
                 return a
 
-            float(f(cs, vs))
+            float(f(cs, vs, volp0, gt0))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(f(cs, vs))
+                float(f(cs, vs, volp0, gt0))
                 best = min(best, time.perf_counter() - t0)
             return best
 
