@@ -105,3 +105,27 @@ def test_train_utils_surface():
     for n in ["data_parallel_mesh", "dp_tp_mesh", "shard_model_params",
               "initialize_distributed"]:
         _has(mt.parallel, n)
+
+
+def test_migration_map_covers_every_reference_export():
+    """VERDICT r1 item 8 done-criterion: MIGRATION.md maps EVERY symbol the
+    reference exports (`MinkowskiEngine/__init__.py:53-221`) — by name, in
+    the appendix table or the per-layer rows."""
+    import os
+    import re
+
+    import pytest
+
+    ref = "/root/reference/MinkowskiEngine/__init__.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not available")
+    lines = open(ref).read().splitlines()[52:221]
+    syms = set()
+    for ln in lines:
+        m = re.match(r"^\s+([A-Za-z_][A-Za-z0-9_]*),?\s*$", ln)
+        if m:
+            syms.add(m.group(1))
+    here = os.path.join(os.path.dirname(__file__), "..", "MIGRATION.md")
+    mig = open(here).read()
+    missing = sorted(s for s in syms if s not in mig)
+    assert not missing, f"unmapped reference exports: {missing}"
