@@ -90,7 +90,10 @@ def main():
         unit = [(x / cfg.resolution * 2.0 - 1.0).astype(np.float32)
                 for x in xyzs]
         feats = unit
-        coords = [u / cfg.voxel_size for u in unit]
+        # shift to [0, 2] before /voxel_size so the voxel lattice is
+        # non-negative and a static extent bounds it (bounded grids take
+        # the flat-key/LUT/fused-conv fast paths)
+        coords = [(u + 1.0) / cfg.voxel_size for u in unit]
         cpad, valid, fpad = collate_fields(coords, feats, cap)
         labels = np.array([s["label"] for s in samples], np.int32)
         return cpad, valid, fpad, labels
@@ -98,11 +101,14 @@ def main():
     samples0 = [ds[i] for i in range(cfg.batch_size)]
     cpad, valid, fpad, labels = collate(samples0)
 
+    extent = (int(2.0 / cfg.voxel_size) + 1,) * 3
+
     def build(cpad, valid, fpad):
         return mt.TensorField(coordinates=jnp.asarray(cpad),
                               features=jnp.asarray(fpad),
                               valid=jnp.asarray(valid),
-                              batch_size=cfg.batch_size)
+                              batch_size=cfg.batch_size,
+                              extent=extent)
 
     field0 = build(cpad, valid, fpad)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -228,6 +228,14 @@ class TensorField(struct.PyTreeNode):
     features: jnp.ndarray  # [M, C]
     valid: jnp.ndarray  # bool[M]
     batch_size: int = struct.field(pytree_node=False, default=1)
+    # static spatial bound: all voxelized coords lie in [0, extent) per dim.
+    # Setting it routes every derived grid through the bounded fast paths
+    # (flat-key 1-key sort / dense LUT / fused Pallas conv) instead of the
+    # unbounded lexsort+hash machinery — on the classification pipeline the
+    # unbounded path was both the CPU compile long pole and the reason the
+    # fused conv never engaged on TPU.
+    extent: Optional[Sequence[int]] = struct.field(pytree_node=False,
+                                                   default=None)
 
     @property
     def C(self) -> jnp.ndarray:  # noqa: N802
@@ -266,7 +274,7 @@ class TensorField(struct.PyTreeNode):
         vox = jnp.where(self.valid[:, None], vox, INVALID_COORD)
         cap = capacity or self.capacity
         grid, inverse, _ = make_grid(vox, self.valid, cap, tuple(int(x) for x in s),
-                                     self.batch_size)
+                                     self.batch_size, extent=self.extent)
         f = reduce_by_inverse(self.features, inverse, self.valid, cap,
                               mode=quantization_mode)
         return SparseTensor(grid=grid, features=f).mask_features(), inverse

@@ -26,8 +26,11 @@ def field_input(rng, n=128, b=2, res=8, c=3):
         [rng.randint(0, b, (n, 1)).astype(np.float32),
          rng.rand(n, 3).astype(np.float32) * res], axis=1)
     feats = rng.randn(n, c).astype(np.float32)
+    # bounded extent: the pyramid's ~10 derived grids then compile via the
+    # 1-key flat sort instead of d+2-key lexsorts (the suite's long pole)
     return mt.TensorField(jnp.asarray(pts), jnp.asarray(feats),
-                          jnp.ones((n,), bool), batch_size=b)
+                          jnp.ones((n,), bool), batch_size=b,
+                          extent=(res,) * 3)
 
 
 def test_resnet14_forward(rng):
@@ -72,7 +75,7 @@ def test_fcnn_variants_forward(rng):
     field = field_input(rng)
     for cls in (mm.MinkowskiFCNN, mm.MinkowskiSplatFCNN):
         net = cls(out_channel=4, embedding_channel=32,
-                  channels=(4, 4, 8, 8, 8), voxel_capacity=256)
+                  channels=(4, 4, 8, 8, 8), voxel_capacity=128)
         v = jax.jit(net.init)(jax.random.PRNGKey(0), field)
         out, _ = jax.jit(
             lambda v, f: net.apply(v, f, mutable=["batch_stats"]))(v, field)
