@@ -86,7 +86,9 @@ def main():
     def build(cpad, valid, feats, labels):
         """Dedup coords; reduce features AND labels with the same
         first-occurrence rule so rows stay aligned on the output grid."""
-        grid, inverse, _ = mt.ops.make_grid(cpad, valid, cap, batch_size=b)
+        grid, inverse, _ = mt.ops.make_grid(
+            cpad, valid, cap, batch_size=b,
+            extent=(args.resolution,) * 3)  # bounded: flat-key/fused paths
         f = mt.ops.reduce_by_inverse(feats, inverse, valid, cap, "first")
         l = mt.ops.reduce_by_inverse(
             labels[:, None].astype(jnp.float32), inverse, valid, cap, "first")
