@@ -198,6 +198,11 @@ class DenseAttention(nn.Module):
         b, l, c = tokens.shape
         residual = tokens
         q = nn.Dense(c, use_bias=False, name="to_q")(tokens)
+        if (encoder_hidden_state is not None
+                and self.cross_attention_dim is not None):
+            assert encoder_hidden_state.shape[-1] == self.cross_attention_dim, (
+                f"encoder_hidden_state dim {encoder_hidden_state.shape[-1]} "
+                f"!= declared cross_attention_dim {self.cross_attention_dim}")
         ctx = tokens if encoder_hidden_state is None else encoder_hidden_state
         kv = nn.Dense(2 * c, use_bias=False, name="to_kv")(ctx)
         k, v = jnp.split(kv, 2, axis=-1)

@@ -222,7 +222,13 @@ class HjmInstanceNorm(nn.Module):
     through the same `nn.BatchNorm1d`, so the running stats receive K
     sequential momentum updates per forward; we reproduce that ordered
     accumulation in closed form (weight ``(1-m)·m^(#present after i)`` per
-    present instance), skipping empty instances like `np.unique` does."""
+    present instance), skipping empty instances like `np.unique` does.
+
+    Note ``momentum=0.9`` here is the *decay* of the old running stat —
+    the inverse of torch's ``momentum=0.1`` update-weight convention.
+    Like torch BatchNorm1d, the running variance receives the
+    Bessel-corrected (unbiased, n/(n-1)) per-instance variance while the
+    normalization itself uses the biased one."""
 
     momentum: float = 0.9
     eps: float = 1e-5
@@ -255,8 +261,11 @@ class HjmInstanceNorm(nn.Module):
                 after = (jnp.cumsum(present[::-1])[::-1] - present)
                 w = (1.0 - m) * jnp.power(m, after) * present  # [B]
                 ra_decay = jnp.power(m, jnp.sum(present))
+                # torch updates running_var with the UNBIASED variance
+                bessel = counts / jnp.maximum(counts - 1.0, 1.0)
                 ra_mean.value = ra_decay * ra_mean.value + w @ mean_b
-                ra_var.value = ra_decay * ra_var.value + w @ var_b
+                ra_var.value = ra_decay * ra_var.value + \
+                    w @ (var_b * bessel[:, None])
         else:
             y = (x.features - ra_mean.value) * \
                 jax.lax.rsqrt(ra_var.value + self.eps)

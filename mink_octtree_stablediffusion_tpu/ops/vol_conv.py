@@ -39,10 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 T = 8  # output tile side (8³ = 512 rows = 4 sublane tiles)
 W = T + 2  # input window side for k=3
-WZ = 16  # z window depth: Mosaic requires 8-aligned slices on the sublane
-# (second-minor) dim of an HBM memref, so the z-window starts at the
-# 8-aligned tile base and DMAs 16 rows (10 used, 6 waste) — x/y are outer
-# dims and slice freely at 10
+# The window DMA pulls one full W×W×(Z+8) z-COLUMN per program (x/y are
+# outer memref dims and slice freely at 10; z is the sublane dim, padded
+# +8 so Mosaic's 8-aligned slicing holds and the k=3 halo fits).  VMEM
+# scratch therefore scales with the full z extent — applicability bounds
+# cells[2] (see brick_pallas_applicable).
 
 
 def _kernel(vol_ref, w_ref, out_ref, win, sem, *, ncols, bd, zc, zp, cp, co,
@@ -359,13 +360,27 @@ def brick_pallas_applicable(spec, grid) -> bool:
     cells = [-(-int(e) // int(s)) for e, s in zip(grid.extent, grid.stride)]
     if any(cl % T != 0 for cl in cells):
         return False
+    # the window DMA stages a full z column in VMEM (2 double-buffer slots x
+    # W*W*(z+8)*cp) — a long-thin grid would fail VMEM at compile
+    if cells[2] > 256:
+        return False
     return grid.batch_size * int(np.prod(cells)) <= 4_194_304
 
 
 def brick_pallas_conv(features: jnp.ndarray, kernel: jnp.ndarray, grid,
                       compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> jnp.ndarray:
-    """Differentiable sparse k=3 s=1 conv via the dense-tile Pallas kernel."""
+    """Differentiable sparse k=3 s=1 conv via the dense-tile Pallas kernel.
+
+    Callers must satisfy `brick_pallas_applicable` (bounded 3-D extent,
+    8-aligned cell dims, z ≤ 256); checked here so a bad extent fails with
+    context instead of a bare shape assert deep in `vol_conv_tiles`."""
+    assert grid.extent is not None and grid.ndim == 3, (
+        "brick_pallas_conv needs a bounded 3-D grid (extent=...)")
+    cells = [-(-int(e) // int(s)) for e, s in zip(grid.extent, grid.stride)]
+    assert all(cl % T == 0 for cl in cells) and cells[2] <= 256, (
+        f"brick_pallas_conv: cell dims {cells} must be multiples of {T} with "
+        f"z <= 256 (pad the extent or use the one-hot/gather conv path)")
     static = (grid.batch_size, tuple(int(s) for s in grid.stride),
               tuple(int(e) for e in grid.extent),
               jnp.dtype(compute_dtype).name, interpret)

@@ -27,6 +27,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy whole-model test (excluded from the "
+        "fast iteration subset)")
+    config.addinivalue_line(
+        "markers", "fast: auto-applied to every test not marked slow — "
+        "`pytest -m fast` is the <5 min iteration subset; the full suite "
+        "remains the gate")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

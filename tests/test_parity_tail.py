@@ -156,7 +156,9 @@ def test_hjm_instance_norm_running_stats_sequential(rng):
     for b in range(3):
         rows = feats[ok & (bid == b)]
         ra_mean = m * ra_mean + (1 - m) * rows.mean(0)
-        ra_var = m * ra_var + (1 - m) * rows.var(0)
+        # torch BatchNorm1d feeds the Bessel-corrected (unbiased) variance
+        # into the running stat while normalizing with the biased one
+        ra_var = m * ra_var + (1 - m) * rows.var(0, ddof=1)
     np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]),
                                ra_mean, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]),
