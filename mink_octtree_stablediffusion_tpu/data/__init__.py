@@ -5,6 +5,7 @@ from .prefetch import PrefetchLoader
 from .datasets import (
     ModelNet40Dataset,
     ObjaverseDataset,
+    ProceduralShapes,
     ShapeNetDataset,
     SyntheticShapes,
     batch_iterator,
@@ -21,7 +22,8 @@ from .mesh import (
 
 __all__ = [
     "collate_fields", "collate_pointclouds", "stack_devices", "PrefetchLoader",
-    "ModelNet40Dataset", "ObjaverseDataset", "ShapeNetDataset", "SyntheticShapes",
+    "ModelNet40Dataset", "ObjaverseDataset", "ProceduralShapes",
+    "ShapeNetDataset", "SyntheticShapes",
     "batch_iterator", "load_glb", "load_off", "normalize_to_resolution", "point_budget",
     "resample_mesh", "resample_mesh_count", "rotate_point_cloud",
 ]

@@ -90,6 +90,102 @@ class SyntheticShapes:
         return out
 
 
+class ProceduralShapes(SyntheticShapes):
+    """Parameter-randomized procedural surface distribution with disjoint
+    train/val/test splits — the zero-egress stand-in for the reference's
+    ModelNet40 training distribution (`examples/ae_res.py:143-214` train/test
+    phases; `examples/dataset.py:129-220`).
+
+    Every sample's geometry is drawn deterministically from ``(seed, split,
+    idx)``: per-axis aspect scaling, a full SO(3) rotation, class-specific
+    shape parameters (torus tube ratio, cylinder height + end caps, cuboid
+    aspect), and with probability ``composite_prob`` a union with a second,
+    smaller *same-class* primitive at a random offset (class-preserving, so
+    the distribution stays usable for conditioning experiments).  With
+    hundreds of samples no two shapes voxelize identically — training must
+    generalize, and the val split measures that."""
+
+    _SPLIT_OFFSET = {"train": 0, "val": 1 << 24, "test": 1 << 25}
+
+    def __init__(self, resolution: int = 64, num_samples: int = 512,
+                 points_per_shape: int = 4096, seed: int = 0,
+                 split: str = "train", composite_prob: float = 0.25,
+                 with_class: bool = False):
+        super().__init__(resolution, num_samples, points_per_shape, seed,
+                         with_class)
+        assert split in self._SPLIT_OFFSET, split
+        self.split = split
+        self.composite_prob = composite_prob
+
+    def _primitive(self, kind: str, n: int, rng) -> np.ndarray:
+        u, v = rng.rand(n), rng.rand(n)
+        if kind == "sphere":
+            th, ph = 2 * np.pi * u, np.arccos(2 * v - 1)
+            p = np.stack([np.sin(ph) * np.cos(th), np.sin(ph) * np.sin(th),
+                          np.cos(ph)], -1)
+        elif kind == "torus":
+            r = rng.uniform(0.12, 0.42)
+            R = 1.0 - r
+            th, ph = 2 * np.pi * u, 2 * np.pi * v
+            p = np.stack([(R + r * np.cos(ph)) * np.cos(th),
+                          (R + r * np.cos(ph)) * np.sin(th),
+                          r * np.sin(ph)], -1)
+        elif kind == "cylinder":
+            # closed tube: points split area-uniformly between the side
+            # (2·2πh) and the two end caps (2π) at unit radius
+            h = rng.uniform(0.5, 1.3)
+            n_side = int(n * 2 * h / (2 * h + 1))
+            th = 2 * np.pi * u
+            side = np.stack([np.cos(th[:n_side]), np.sin(th[:n_side]),
+                             h * (2 * v[:n_side] - 1)], -1)
+            rr = np.sqrt(v[n_side:])
+            sign = rng.randint(0, 2, n - n_side) * 2 - 1
+            caps = np.stack([rr * np.cos(th[n_side:]),
+                             rr * np.sin(th[n_side:]),
+                             sign * h], -1)
+            p = np.concatenate([side, caps], 0)
+        else:  # box: random cuboid surface, area-uniform over the 6 faces
+            half = rng.uniform(0.5, 1.0, 3)
+            areas = np.array([half[1] * half[2], half[0] * half[2],
+                              half[0] * half[1]])
+            probs = np.repeat(areas / areas.sum() / 2.0, 2)
+            face = rng.choice(6, n, p=probs)
+            ax = face // 2
+            sign = (face % 2) * 2 - 1
+            p = rng.rand(n, 3) * 2 - 1
+            p[np.arange(n), ax] = sign
+            p = p * half[None, :]
+        # per-axis aspect + full random rotation
+        p = p * rng.uniform(0.55, 1.0, 3)[None, :]
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        return p @ q.T
+
+    def __getitem__(self, idx: int):
+        rng = np.random.RandomState(
+            self.seed + self._SPLIT_OFFSET[self.split] + idx)
+        label = idx % len(self.CLASSES)
+        kind = self.CLASSES[label]
+        if rng.rand() < self.composite_prob:
+            n1 = int(self.points * rng.uniform(0.6, 0.8))
+            a = self._primitive(kind, n1, rng)
+            b = self._primitive(kind, self.points - n1, rng)
+            scale = rng.uniform(0.35, 0.65)
+            direction = rng.randn(3)
+            direction /= max(np.linalg.norm(direction), 1e-9)
+            xyz = np.concatenate(
+                [a, b * scale + direction[None, :] * rng.uniform(0.6, 1.0)], 0)
+        else:
+            xyz = self._primitive(kind, self.points, rng)
+        xyz = normalize_to_resolution(xyz, self.resolution)
+        vox = sparse_quantize_np(xyz, 1.0)
+        out = {"coords": vox, "xyz": xyz, "label": label}
+        if self.with_class:
+            out["caption"] = f"a picture of a {kind}"
+        return out
+
+
 class ModelNet40Dataset:
     """`examples/ae_res.py:143-214` / `examples/dataset.py:129-218`:
     OFF meshes → resample (budget-rejected) → scale → voxelize, npy cache."""

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import membership, prune, top_k_mask
+from ..ops.canvas import canvas_grid, expand_to_canvas
 from ..tensor import SparseTensor
 from ..nn.blocks import ResNetStack
 from ..nn.conv import SparseConv
@@ -134,6 +135,14 @@ class VAE(nn.Module):
     with_window_attn: bool = False
     window_size: int = 50
     axis_name: Optional[str] = None
+    # Dense-canvas latent (ops/canvas.py): scatter the latent onto the FULL
+    # stride-8 grid before decoding, so diffusion can sample template-free
+    # from pure noise on a data-independent canvas.  ``canvas_noise_std``
+    # jitters the empty cells during training so the level-0 occupancy head
+    # learns to prune from features, not from exact zeros.  Requires a
+    # bounded input grid (extent=...).
+    latent_canvas: bool = False
+    canvas_noise_std: float = 1.0
 
     def setup(self):
         self.encoder = Encoder(
@@ -147,12 +156,25 @@ class VAE(nn.Module):
     def __call__(self, sinput: SparseTensor, target_grid: SparseGrid,
                  rng: jax.Array, train: bool = True):
         mean, log_var = self.encoder(sinput, train=train)
-        eps = jax.random.normal(rng, log_var.features.shape,
+        r_eps, r_canvas = jax.random.split(rng)
+        eps = jax.random.normal(r_eps, log_var.features.shape,
                                 log_var.features.dtype)
         z = mean.with_features(
             mean.features + jnp.exp(0.5 * log_var.features) * eps)
+        if self.latent_canvas:
+            z = self.to_canvas(z, noise_rng=r_canvas if train else None)
         out_clss, targets, sout = self.decoder(z, target_grid, train=train)
         return out_clss, targets, sout, mean, log_var, z
+
+    def to_canvas(self, z: SparseTensor,
+                  noise_rng: Optional[jax.Array] = None) -> SparseTensor:
+        """Scatter a sparse latent onto the full dense canvas at its stride."""
+        assert z.grid.extent is not None, (
+            "latent_canvas needs a bounded input grid (extent=...)")
+        canvas = canvas_grid(z.batch_size, z.grid.extent, z.grid.stride,
+                             z.grid.ndim)
+        std = self.canvas_noise_std if noise_rng is not None else 0.0
+        return expand_to_canvas(z, canvas, empty_noise_std=std, rng=noise_rng)
 
     def encode(self, sinput: SparseTensor, train: bool = False):
         return self.encoder(sinput, train=train)

@@ -17,6 +17,7 @@ from .coords import (
     stride_grid,
     unique_coords,
 )
+from .canvas import canvas_grid, expand_to_canvas
 from .conv import gather_rows, linear_apply, sparse_conv_apply
 from .conv import default_compute_dtype, set_default_compute_dtype
 from .dense_conv import dense_conv_applicable, dense_conv_apply, enable_dense_conv
@@ -54,5 +55,5 @@ __all__ = [
     "slice_by_inverse", "union", "default_compute_dtype", "set_default_compute_dtype",
     "fused_sparse_conv", "onehot_sparse_conv", "use_onehot_conv",
     "brick_pallas_conv", "enable_brick_conv", "vol_conv3d",
-    "brick_sparse_conv",
+    "brick_sparse_conv", "canvas_grid", "expand_to_canvas",
 ]
