@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--max_epochs", type=int, default=50)
     p.add_argument("--input_capacity", type=int, default=32768)
+    p.add_argument("--eval_every", type=int, default=100,
+                   help="eval-mode generation IoU vs per-class targets "
+                        "every N steps (reference's per-epoch visual check, "
+                        "`reconstruction.py:548-625`, made quantitative)")
+    p.add_argument("--viz_dir", type=str, default=None)
     return p.parse_args()
 
 
@@ -62,18 +67,25 @@ def main():
     net = mm.GenerativeNet(level_capacities=level_caps)
     seed_stride = 2 ** 6
 
+    # bounded extent end-to-end: the seed grid carries it, every grown level
+    # inherits it, so conv/membership take the flat-key/LUT/fused fast paths
+    # (the r2 classification/segmentation recipe — 3-8x on-chip)
+    extent = (max(cfg.resolution, seed_stride),) * 3
+
     def seed_tensor(labels):
         coords = jnp.concatenate(
             [jnp.arange(b, dtype=jnp.int32)[:, None],
              jnp.zeros((b, 3), jnp.int32)], axis=-1)
         grid = mt.SparseGrid(coords=coords, valid=jnp.ones((b,), bool),
-                             stride=(seed_stride,) * 3, batch_size=b)
+                             stride=(seed_stride,) * 3, batch_size=b,
+                             extent=extent)
         feats = jax.nn.one_hot(labels, n_classes) * 10.0
         return mt.SparseTensor(grid=grid, features=feats)
 
     def target_grid(cpad, valid):
         st = mt.sparse_tensor(cpad, jnp.ones((cap, 1)) * valid[:, None],
-                              capacity=cap, batch_size=b, valid=valid)
+                              capacity=cap, batch_size=b, valid=valid,
+                              extent=extent)
         return st.grid
 
     samples0 = [ds[i] for i in range(b)]
@@ -110,7 +122,47 @@ def main():
                                                              batch_stats))
 
     step_fn = mtrain.make_train_step(loss_fn)
+
+    # ---- eval: generate each class from its seed in EVAL mode (no
+    # force-keep) and score occupancy IoU against held-out targets (the
+    # reference's per-epoch visual check, `reconstruction.py:548-625`,
+    # made quantitative).  SyntheticShapes geometry is canonical per class,
+    # so class -> shape is the right target up to surface-sampling noise.
+    ds_val = SyntheticShapes(resolution=cfg.resolution, num_samples=b,
+                             points_per_shape=4096, seed=777)
+    eval_samples = [ds_val[i] for i in range(b)]
+    ecpad, evalid, _, _ = collate_pointclouds(
+        [s["coords"] for s in eval_samples], cap)
+    ecpad, evalid = jnp.asarray(ecpad), jnp.asarray(evalid)
+    elabels = jnp.asarray([s["label"] for s in eval_samples], jnp.int32)
+
+    @jax.jit
+    def generate(params, batch_stats):
+        z = seed_tensor(elabels)
+        tg = target_grid(ecpad, evalid)
+        (out_clss, targets, sout), _ = net.apply(
+            {"params": params, "batch_stats": batch_stats}, z, tg,
+            train=False, mutable=["batch_stats"])
+        return sout
+
+    def voxel_sets(grid_coords, grid_valid):
+        out = {}
+        for row, ok in zip(np.asarray(grid_coords), np.asarray(grid_valid)):
+            if ok:
+                out.setdefault(int(row[0]), set()).add(
+                    tuple(int(x) for x in row[1:]))
+        return out
+
+    def eval_iou(state):
+        sout = generate(state.params, state.batch_stats)
+        gen = voxel_sets(sout.grid.coords, sout.grid.valid)
+        tgt = voxel_sets(ecpad, evalid)
+        vals = [len(gen.get(i, set()) & tgt[i]) /
+                max(len(gen.get(i, set()) | tgt[i]), 1) for i in tgt]
+        return float(np.mean(vals)), sout
+
     step, t0 = 0, time.time()
+    final_iou = None
     for epoch in range(cfg.max_epochs):
         for samples in batch_iterator(ds, b, np_rng):
             cpad, valid, _, _ = collate_pointclouds(
@@ -125,8 +177,23 @@ def main():
                          epoch, step, float(loss),
                          int(aux["final_voxels"]), (time.time() - t0) / 10)
                 t0 = time.time()
+            if cfg.eval_every and step % cfg.eval_every == 0:
+                iou, _ = eval_iou(state)
+                log.info("step %d eval generation IoU %.4f", step, iou)
             if cfg.steps and step >= cfg.steps:
-                log.info("done; final bce %.4f", float(loss))
+                final_iou, sout = eval_iou(state)
+                log.info("done; final bce %.4f generation IoU %.4f",
+                         float(loss), final_iou)
+                if cfg.viz_dir:
+                    path = mt.utils.render_pointclouds(
+                        mt.utils.sparse_tensor_clouds(sout, b),
+                        os.path.join(cfg.viz_dir, "reconstruction.png"),
+                        titles=[f"gen {ds.CLASSES[i]}" for i in range(b)],
+                        resolution=cfg.resolution)
+                    log.info("render: %s", path)
+                import json
+                print(json.dumps({"final_bce": float(loss),
+                                  "generation_iou": final_iou}), flush=True)
                 return
 
 

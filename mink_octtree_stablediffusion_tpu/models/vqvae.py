@@ -63,7 +63,7 @@ class VQVAE(nn.Module):
 
     def setup(self):
         self.encoder = Encoder(self.channels, self.encoder_capacities,
-                               self.axis_name)
+                               axis_name=self.axis_name)
         self.decoder = Decoder(tuple(reversed(self.channels)),
                                self.decoder_capacities, self.max_keep,
                                self.axis_name)

@@ -84,6 +84,71 @@ def test_dp_train_step_matches_mean_of_grads(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
+def test_dp_vae_step_matches_single(rng):
+    """The FULL VAE step — generative growth, membership, top-k, pruning,
+    canvas expansion, SyncBN — under the 8-device dp mesh must reproduce
+    the single-device step at identical global batch (VERDICT r2 item 4;
+    the reference DDP-wraps the whole VAE, `examples/ae_res.py:996-997`)."""
+    from mink_octtree_stablediffusion_tpu import models as mm
+
+    res, cap, b = 16, 256, 2
+    cells = (res // 8) ** 3
+    coords = np.concatenate(
+        [rng.randint(0, b, (cap // 2, 1)), rng.randint(0, res, (cap // 2, 3))],
+        axis=1).astype(np.int32)
+    cpad, valid = mt.ops.pad_to_capacity(coords, cap)
+    feats = (np.ones((cap, 1)) * valid[:, None]).astype(np.float32)
+    batch = (cpad, valid, feats)
+
+    def build(cpad, valid, feats):
+        return mt.sparse_tensor(cpad, feats, capacity=cap, batch_size=b,
+                                valid=valid, extent=(res,) * 3)
+
+    def make(axis_name):
+        vae = mm.VAE(channels=(4, 8, 8, 8, 2),
+                     encoder_capacities=(128, 64, 32, 32, 32),
+                     decoder_capacities=(max(b * cells, 16), 64, 128, 256),
+                     latent_canvas=True, axis_name=axis_name)
+
+        def loss_fn(params, batch_stats, batch, rng):
+            st = build(*batch)
+            (clss, tgts, sout, mean, log_var, _), upd = vae.apply(
+                {"params": params, "batch_stats": batch_stats}, st, st.grid,
+                rng, mutable=["batch_stats"])
+            loss, aux = mm.vae_loss(clss, tgts, mean, log_var, 1e-6)
+            return loss, (aux, upd["batch_stats"])
+
+        return vae, loss_fn
+
+    vae_s, loss_s = make(None)
+    _, loss_dp = make("data")  # SyncBN pmean inside the mesh
+    st0 = build(*map(jnp.asarray, batch))
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(vae_s.init)(key, st0, st0.grid, key)
+    tx = optax.adam(1e-3)
+    mk = lambda: mtrain.TrainState.create(  # noqa: E731
+        variables["params"], variables.get("batch_stats", {}), tx)
+
+    n_dev = jax.device_count()
+    mesh = mt.parallel.data_parallel_mesh()
+    dp_step = mtrain.make_dp_train_step(loss_dp, mesh)
+    dev_batch = tuple(jnp.asarray(np.stack([x] * n_dev)) for x in batch)
+    rngs = jnp.stack([jax.random.PRNGKey(1)] * n_dev)
+    s_dp, l_dp, _ = dp_step(mk(), dev_batch, rngs)
+    s_single, l_single, _ = mtrain.make_train_step(loss_s)(
+        mk(), tuple(map(jnp.asarray, batch)), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l_dp), float(l_single), rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(s_dp.params),
+                    jax.tree.leaves(s_single.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                                   atol=1e-5)
+    for a, c in zip(jax.tree.leaves(s_dp.batch_stats),
+                    jax.tree.leaves(s_single.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_checkpoint_save_restore_roundtrip(rng, tmp_path):
     state, loss_fn, batch = make_model_and_state(rng)
     step = mtrain.make_train_step(loss_fn)
