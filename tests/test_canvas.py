@@ -57,6 +57,7 @@ def test_expand_to_canvas_scatter(rng):
     assert np.all(np.abs(f2[~present]) > 0.0)
 
 
+@pytest.mark.slow
 def test_vae_latent_canvas_roundtrip(rng):
     """VAE with latent_canvas trains a step and decodes in eval mode; the
     canvas latent is the full dense stride-8 set."""

@@ -4,6 +4,7 @@ a fully-occupied grid (SURVEY.md §7.3: dense baselines as cross-check)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import models as mm
@@ -127,6 +128,7 @@ def test_sparse_attention_matches_dense_tokens_on_full_grid(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_unet3d_condition_model_trains_and_conditions(rng):
     b, r = 2, 8
     x = jnp.asarray(rng.randn(b, r, r, r, 2).astype(np.float32))

@@ -6,6 +6,7 @@ with fp32 to bf16 precision."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 import mink_octtree_stablediffusion_tpu as mt
@@ -15,6 +16,7 @@ from mink_octtree_stablediffusion_tpu import train as mtrain
 from mink_octtree_stablediffusion_tpu.data import SyntheticShapes, collate_pointclouds
 
 
+@pytest.mark.slow
 def test_vae_overfit_bce_decreases(rng):
     ds = SyntheticShapes(resolution=16, num_samples=4, points_per_shape=512)
     cap, b = 1024, 4

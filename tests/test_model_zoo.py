@@ -5,6 +5,7 @@ generative reconstruction nets."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import models as mm
@@ -71,6 +72,7 @@ def test_pointnets_forward(rng):
     assert out2.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_fcnn_variants_forward(rng):
     field = field_input(rng)
     for cls in (mm.MinkowskiFCNN, mm.MinkowskiSplatFCNN):
@@ -83,6 +85,7 @@ def test_fcnn_variants_forward(rng):
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_completion_and_generative(rng):
     st = sparse_input(rng, res=8)
     comp = mm.CompletionNet(enc_channels=(4, 4, 8, 8, 8, 8),

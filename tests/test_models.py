@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-model compiles dominate (ROADMAP suite-timing notes)
+pytestmark = pytest.mark.slow
+
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu import diffusion as md
 from mink_octtree_stablediffusion_tpu import models as mm

@@ -16,6 +16,11 @@ _WORKER = r"""
 import os, sys
 sys.path.insert(0, os.environ["REPO"])
 import numpy as np
+import pytest
+
+# compile-heavy: excluded from the fast subset
+pytestmark = pytest.mark.slow
+
 import jax
 from jax.sharding import PartitionSpec as P
 import mink_octtree_stablediffusion_tpu as mt

@@ -304,6 +304,7 @@ def test_compute_dtype_policy(rng):
     np.testing.assert_array_equal(np.asarray(out32), np.asarray(ref32))
 
 
+@pytest.mark.slow
 def test_resnet_stack_remat_matches(rng):
     # lifted remat is a pure memory/recompute trade: same param structure,
     # same forward, same grads (up to backward fusion-order noise)
@@ -338,6 +339,7 @@ def test_resnet_stack_remat_matches(rng):
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_resnet_stack_nonconv_heads_alias_legacy(rng):
     """`after="avg_pool"` / `"upsample_interpolate"` are the first-class
     spellings of the reference's ``use_conv=False`` head selection

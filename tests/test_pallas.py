@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mink_octtree_stablediffusion_tpu as mt
 from mink_octtree_stablediffusion_tpu.ops.pallas_conv import pallas_sparse_conv
@@ -36,6 +37,7 @@ def test_fused_onehot_conv_matches_xla(rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_onehot_conv_grads_match_xla(rng):
     st = _sphere(rng, 300, 512, 4, 12)
     spec = mt.ops.KernelSpec(3, 1, ndim=3)
@@ -83,6 +85,7 @@ def test_fused_onehot_conv_strided_and_transpose(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_onehot_conv_grads_strided_and_transpose(rng):
     # the backward's flipped-direction pass swaps lattice strides — cover
     # both a downsampling conv (s_out=2) and a transpose conv (s_in=2)
@@ -142,6 +145,7 @@ def test_fused_onehot_conv_cout_tiled(rng, monkeypatch):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_onehot_conv_packed_layout(rng, monkeypatch):
     # opt-in packed narrow-channel window layout (off by default — see the
     # on-chip verdict in `_packed_layout`): fwd + grads must match the XLA
@@ -211,6 +215,7 @@ def test_conv_schedule_real_widths():
         oh.use_band_split(False)
 
 
+@pytest.mark.slow
 def test_fused_band_split_matches_xla(rng, monkeypatch):
     # shrink the VMEM budget so a cheap width exercises the band-split
     # schedule (forward + both grads, incl. the split flipped-direction dF
@@ -328,6 +333,7 @@ def test_fused_dw_wide_cout_tiling(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_onehot_conv_cross_and_aniso(rng):
     # HYPER_CROSS k=3 (volume 7 -> group 2, one padded offset) and an
     # anisotropic (3,1,1) cube (volume 3 -> group 1): both hit the banded
@@ -360,10 +366,10 @@ def test_fused_onehot_conv_cross_and_aniso(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
-import pytest
 
 
 @pytest.mark.parametrize("ring", [True, False])
+@pytest.mark.slow
 def test_fused_onehot_conv_dense_grid_spills(rng, ring, request):
     # 100%-occupied grid with a small tw: per-band windows exceed tw and the
     # spill-chunk loop (ring-buffered or serial) must stay exact (fwd+grads)

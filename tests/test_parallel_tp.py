@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
+
+# whole-model compiles dominate (ROADMAP suite-timing notes)
+pytestmark = pytest.mark.slow
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import mink_octtree_stablediffusion_tpu as mt

@@ -1,5 +1,10 @@
 """Serving artifacts: exported generation program round-trips exactly."""
 
+import pytest
+
+# compile-heavy: excluded from the fast subset
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

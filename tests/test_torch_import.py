@@ -2,6 +2,11 @@
 the exactness of the attention projection folding (SURVEY.md §2.2 naming;
 `MinkowskiConvolution.py:263-287`, `diffusion_block.py:400-500`)."""
 
+import pytest
+
+# compile-heavy: excluded from the fast subset
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np
