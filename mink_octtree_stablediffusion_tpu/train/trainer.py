@@ -175,3 +175,21 @@ class CheckpointManager:
             step, args=ocp.args.PyTreeRestore({"params": params_template},
                                               partial_restore=True))
         return restored["params"]
+
+    def restore_vars(self, params_template, batch_stats_template=None,
+                     step: Optional[int] = None):
+        """Restore params (+ batch_stats) WITHOUT the optimizer state — for
+        consumers holding a different optimizer than the trainer (e.g. the
+        conditioning script loading the generalization VAE).  Returns
+        ``{"params": ..., "batch_stats": ...}``."""
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        tmpl = {"params": params_template,
+                "batch_stats": batch_stats_template or {}}
+        restored = self.mngr.restore(
+            step, args=ocp.args.PyTreeRestore(tmpl, partial_restore=True))
+        return {"params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {})}

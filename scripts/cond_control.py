@@ -215,18 +215,15 @@ def main(argv=None):
 
     st0 = jax.jit(build)(*collate(val_samples[:b]))
     variables = jax.jit(vae.init)(rng, st0, st0.grid, rng)
-    vtx = optax.adam(1e-3)
-    vstate = mtrain.TrainState.create(variables["params"],
-                                      variables.get("batch_stats", {}), vtx)
     vae_ckpt = mtrain.CheckpointManager(os.path.join(cfg.ckpt_dir, "vae"))
     assert vae_ckpt.latest_step() is not None, (
         f"no VAE checkpoint under {cfg.ckpt_dir}/vae — run "
         "scripts/e2e_generalize.py first")
-    vstate = vae_ckpt.restore(vstate)
-    print(f"restored VAE at step {int(vstate.step)}", flush=True)
-    vae_vars = jax.tree.map(jax.lax.stop_gradient,
-                            {"params": vstate.params,
-                             "batch_stats": vstate.batch_stats})
+    vae_vars = jax.tree.map(
+        jax.lax.stop_gradient,
+        vae_ckpt.restore_vars(variables["params"],
+                              variables.get("batch_stats", {})))
+    print(f"restored VAE at step {vae_ckpt.latest_step()}", flush=True)
 
     def encode_canvas(vv, st):
         mean, _ = vae.apply(

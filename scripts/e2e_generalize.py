@@ -265,7 +265,10 @@ def main(argv=None):
         tx2 = mtrain.diffusion_optimizer(cfg.lr_diff, warmup_steps=100,
                                          total_steps=cfg.steps_diff)
     dstate = mtrain.TrainState.create(params0, {}, tx2)
-    diff_ckpt = mtrain.CheckpointManager(os.path.join(cfg.ckpt_dir, "diff"))
+    # per-prediction-type checkpoint dir: the epsilon long run must not
+    # clobber the x0 run's state
+    diff_ckpt = mtrain.CheckpointManager(
+        os.path.join(cfg.ckpt_dir, f"diff_{cfg.prediction_type}"))
 
     def diff_loss_fn(params, batch_stats, batch, rng):
         cpad, valid, feats, vv = batch
@@ -297,7 +300,8 @@ def main(argv=None):
                       f"({(time.time() - t0) / step:.2f} s/step)", flush=True)
             if step % 5000 == 0:
                 diff_ckpt.save(step, dstate, force=True)
-        diff_ckpt.save(int(dstate.step), dstate, force=True)
+        if diff_ckpt.latest_step() != int(dstate.step):
+            diff_ckpt.save(int(dstate.step), dstate, force=True)
 
     # ---- phase 3: template-free generation + membership/novelty ----
     canvas = mt.ops.canvas_grid(b, (res,) * 3, (8,) * 3)
