@@ -300,7 +300,8 @@ def main(argv=None):
                 print(f"cond diff step {step} loss {float(loss):.5f} denoise "
                       f"{float(aux['denoise_loss']):.5f} "
                       f"({(time.time() - t0) / step:.2f} s/step)", flush=True)
-        diff_ckpt.save(int(dstate.step), dstate, force=True)
+        if diff_ckpt.latest_step() != int(dstate.step):
+            diff_ckpt.save(int(dstate.step), dstate, force=True)
 
     # ---- sample each class on the canvas, decode, classify ----
     canvas = mt.ops.canvas_grid(b, (res,) * 3, (8,) * 3)
