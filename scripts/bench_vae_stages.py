@@ -43,6 +43,13 @@ from bench_vae_step_common import make_batch  # noqa: E402  (shared fixture)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--res128", action="store_true",
+                    help="the e2e res-128 headline workload "
+                         "(scripts/e2e_quality.py --resolution 128)")
+    ap.add_argument("--caps", type=int, nargs="*", default=None,
+                    help="override encoder+decoder capacities as "
+                         "enc0..enc4 dec0..dec3 (9 ints) — for measured-"
+                         "occupancy tuning (utils.capacity_report)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,12 +59,24 @@ def main():
                   encoder_capacities=(1024, 256, 64, 64, 64),
                   decoder_capacities=(64, 512, 1024, 1024))
         short, long_ = 1, 3
+    elif args.res128:
+        # the RESULTS §1 res-128 run: capacities(262144) from
+        # examples/train_vae.py
+        b, res, cap, pts = 4, 128, 262144, 250000
+        kw = dict(channels=(32, 128, 512, 512, 4),
+                  encoder_capacities=(131072, 65536, 16384, 16384, 16384),
+                  decoder_capacities=(16384, 65536, 131072, 524288))
+        short, long_ = 1, 3
     else:
         b, res, cap, pts = 4, 64, 32768, 60000
         kw = dict(channels=(32, 128, 512, 512, 4),
                   encoder_capacities=(32768, 8192, 2048, 2048, 2048),
                   decoder_capacities=(2048, 8192, 32768, 131072))
         short, long_ = 2, 6
+    if args.caps:
+        assert len(args.caps) == 9, "--caps wants enc0..enc4 dec0..dec3"
+        kw["encoder_capacities"] = tuple(args.caps[:5])
+        kw["decoder_capacities"] = tuple(args.caps[5:])
 
     rng = np.random.RandomState(0)
     vae = mm.VAE(**kw)
