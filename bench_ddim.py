@@ -66,6 +66,8 @@ elif not _probe_with_retries():
           "using CPU", file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 import jax.numpy as jnp  # noqa: E402
 
 import mink_octtree_stablediffusion_tpu as mt  # noqa: E402

@@ -223,7 +223,10 @@ def main(argv=None):
                       "batch_stats": state.batch_stats}
                 print(f"  val recon IoU @ {step}: "
                       f"{val_recon_iou(vv, val_batches[:2]):.4f}", flush=True)
-        vae_ckpt.save(int(state.step), state, force=True)
+            if step % 2000 == 0:
+                vae_ckpt.save(int(state.step), state, force=True)
+        if vae_ckpt.latest_step() != int(state.step):
+            vae_ckpt.save(int(state.step), state, force=True)
         vae_vars = {"params": state.params, "batch_stats": state.batch_stats}
     vae_vars = jax.tree.map(jax.lax.stop_gradient, vae_vars)
 
