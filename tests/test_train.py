@@ -178,6 +178,25 @@ def test_checkpoint_save_restore_roundtrip(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_restore_vars_across_optimizers(rng, tmp_path):
+    """restore_vars must load params+batch_stats saved under a DIFFERENT
+    optimizer (the conditioning script's VAE handoff) — plain restore()
+    requires a matching opt_state tree and fails there."""
+    state, loss_fn, batch = make_model_and_state(rng)
+    step = mtrain.make_train_step(loss_fn)
+    state, _, _ = step(state, tuple(map(jnp.asarray, batch)),
+                       jax.random.PRNGKey(1))
+    ckpt = mtrain.CheckpointManager(str(tmp_path / "ckpt_rv"))
+    ckpt.save(1, state)
+
+    fresh, _, _ = make_model_and_state(np.random.RandomState(0))
+    out = mtrain.CheckpointManager(str(tmp_path / "ckpt_rv")).restore_vars(
+        fresh.params, {})
+    for a, c in zip(jax.tree.leaves(out["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_warmup_cosine_schedule():
     sched = mtrain.warmup_cosine(1e-3, warmup_steps=10, total_steps=100)
     assert float(sched(0)) == pytest.approx(0.0)
