@@ -352,10 +352,14 @@ def main(argv=None):
                                  default=0.0))
         nearest_val.append(max((iou_sets(g, t) for t in val_bank),
                               default=0.0))
-    nearest_any = np.maximum(nearest_train, nearest_val)
+    # size-validity only: voxel-set IoU between two honestly different
+    # poses/aspects of the same class is ~0.1-0.2, so nearest-IoU is a
+    # NOVELTY metric (low = not a copy), not a validity gate; shape
+    # validity is judged by renders and the conditional-classification
+    # oracle (scripts/cond_control.py)
+    hi_count = 3.0 * float(np.median(tcounts))
     valid_frac = float(np.mean(
-        [(c >= lo_count) and (n >= 0.3)
-         for c, n in zip(counts, nearest_any)]))
+        [lo_count <= c <= hi_count for c in counts]))
     print("nearest-TRAIN IoU per sample:",
           [round(v, 3) for v in nearest_train], flush=True)
     print("nearest-val IoU per sample:",
@@ -384,7 +388,7 @@ def main(argv=None):
     result = {
         "val_recon_iou": final_val_iou,
         "train_recon_iou": train_iou,
-        "gen_valid_frac": valid_frac,
+        "gen_size_valid_frac": valid_frac,
         "gen_nearest_train_iou_mean": float(np.mean(nearest_train)),
         "gen_nearest_train_iou_max": float(np.max(nearest_train)),
         "gen_nearest_val_iou_mean": float(np.mean(nearest_val)),
