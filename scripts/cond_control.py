@@ -287,8 +287,12 @@ def main(argv=None):
         print(f"restored cond diffusion at step {int(dstate.step)}",
               flush=True)
     else:
+        if diff_ckpt.latest_step() is not None:
+            dstate = diff_ckpt.restore(dstate)
+            print(f"resuming cond diffusion from step {int(dstate.step)}",
+                  flush=True)
         t0 = time.time()
-        for step in range(1, cfg.steps_diff + 1):
+        for step in range(int(dstate.step) + 1, cfg.steps_diff + 1):
             idx = np_rng.randint(0, cfg.train_shapes, b)
             batch = collate([train_samples[i] for i in idx])
             labels = jnp.asarray([train_samples[i]["label"] for i in idx],
@@ -300,6 +304,8 @@ def main(argv=None):
                 print(f"cond diff step {step} loss {float(loss):.5f} denoise "
                       f"{float(aux['denoise_loss']):.5f} "
                       f"({(time.time() - t0) / step:.2f} s/step)", flush=True)
+            if step % 2000 == 0:
+                diff_ckpt.save(step, dstate, force=True)
         if diff_ckpt.latest_step() != int(dstate.step):
             diff_ckpt.save(int(dstate.step), dstate, force=True)
 

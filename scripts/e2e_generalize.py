@@ -210,14 +210,20 @@ def main(argv=None):
         print(f"restored VAE at step {int(state.step)}", flush=True)
         vae_vars = {"params": state.params, "batch_stats": state.batch_stats}
     else:
-        t0 = time.time()
-        for step in range(1, cfg.steps_vae + 1):
+        # auto-resume a partially-trained leg (tunnel stalls can kill the
+        # process mid-phase; the optimizer state carries the schedule)
+        if vae_ckpt.latest_step() is not None:
+            state = vae_ckpt.restore(state)
+            print(f"resuming VAE from step {int(state.step)}", flush=True)
+        t0, step0 = time.time(), int(state.step)
+        for step in range(step0 + 1, cfg.steps_vae + 1):
             rng, sub = jax.random.split(rng)
             state, loss, aux = step_fn(state, train_batch(), sub)
             if step % 100 == 0 or step == cfg.steps_vae:
                 print(f"vae step {step} loss {float(loss):.5f} bce "
                       f"{float(aux['bce']):.5f} "
-                      f"({(time.time() - t0) / step:.2f} s/step)", flush=True)
+                      f"({(time.time() - t0) / (step - step0):.2f} s/step)",
+                      flush=True)
             if step % cfg.eval_every == 0:
                 vv = {"params": state.params,
                       "batch_stats": state.batch_stats}
@@ -291,8 +297,12 @@ def main(argv=None):
         dstate = diff_ckpt.restore(dstate)
         print(f"restored diffusion at step {int(dstate.step)}", flush=True)
     else:
-        t0 = time.time()
-        for step in range(1, cfg.steps_diff + 1):
+        if diff_ckpt.latest_step() is not None:
+            dstate = diff_ckpt.restore(dstate)
+            print(f"resuming diffusion from step {int(dstate.step)}",
+                  flush=True)
+        t0, step0 = time.time(), int(dstate.step)
+        for step in range(step0 + 1, cfg.steps_diff + 1):
             rng, sub = jax.random.split(rng)
             cpad, valid, feats = train_batch()
             dstate, loss, aux = dstep_fn(dstate,
@@ -300,8 +310,9 @@ def main(argv=None):
             if step % 200 == 0 or step == cfg.steps_diff:
                 print(f"diff step {step} loss {float(loss):.5f} denoise "
                       f"{float(aux['denoise_loss']):.5f} "
-                      f"({(time.time() - t0) / step:.2f} s/step)", flush=True)
-            if step % 5000 == 0:
+                      f"({(time.time() - t0) / (step - step0):.2f} s/step)",
+                      flush=True)
+            if step % 2000 == 0:
                 diff_ckpt.save(step, dstate, force=True)
         if diff_ckpt.latest_step() != int(dstate.step):
             diff_ckpt.save(int(dstate.step), dstate, force=True)
