@@ -244,6 +244,15 @@ def main(argv=None):
     print(f"HELD-OUT reconstruction IoU ({cfg.val_shapes} val shapes): "
           f"{final_val_iou:.4f}  (train-set IoU {train_iou:.4f})", flush=True)
 
+    if cfg.steps_diff == 0:
+        # VAE-only leg (e.g. pool-size ablations)
+        result = {"val_recon_iou": final_val_iou,
+                  "train_recon_iou": train_iou,
+                  "train_shapes": cfg.train_shapes,
+                  "steps_vae": cfg.steps_vae}
+        print(json.dumps(result), flush=True)
+        return result
+
     # ---- phase 2: diffusion on frozen canvas latents ----
     def encode_canvas(vv, st):
         mean, _ = vae.apply(
