@@ -141,7 +141,12 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg.seed)
     f0 = cls_build(*cls_collate([s["coords"] for s in train_samples[:b]]))
     clf_vars = jax.jit(clf.init)(rng, f0)
-    clf_tx = optax.adam(cfg.lr_cls)
+    # clip + cosine: plain Adam at 1e-3 spikes on hard ProceduralShapes
+    # batches (observed: loss 0.23 -> 1.68 at step 500) and the oracle's
+    # held-out accuracy is the ceiling of the whole conditioning proof
+    clf_tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(mtrain.warmup_cosine(cfg.lr_cls, 20, cfg.steps_cls)))
     clf_state = mtrain.TrainState.create(clf_vars["params"],
                                          clf_vars.get("batch_stats", {}),
                                          clf_tx)
