@@ -200,7 +200,12 @@ def main(argv=None):
     val_pred = classify([s["coords"] for s in val_samples])
     val_true = [s["label"] for s in val_samples]
     cls_val_acc = float(np.mean([p == t for p, t in zip(val_pred, val_true)]))
-    print(f"classifier held-out val acc: {cls_val_acc:.4f}", flush=True)
+    per_cls_oracle = {}
+    for li, name in enumerate(train_ds.CLASSES):
+        hits = [p == t for p, t in zip(val_pred, val_true) if t == li]
+        per_cls_oracle[name] = float(np.mean(hits)) if hits else float("nan")
+    print(f"classifier held-out val acc: {cls_val_acc:.4f} "
+          f"(per-class {per_cls_oracle})", flush=True)
 
     # ---- restore the generalization VAE ----
     enc_caps, dec_caps = capacities(cap)
@@ -370,7 +375,8 @@ def main(argv=None):
                 or results[str(scale)]["mean"] > per_class_at_best[1]):
             per_class_at_best = (str(scale), results[str(scale)]["mean"])
 
-    out = {"classifier_val_acc": cls_val_acc, "cfg_sweep": results,
+    out = {"classifier_val_acc": cls_val_acc,
+           "classifier_val_per_class": per_cls_oracle, "cfg_sweep": results,
            "best_scale": per_class_at_best[0],
            "best_mean_conditional_acc": per_class_at_best[1]}
     print(json.dumps(out), flush=True)
