@@ -375,6 +375,20 @@ def main(argv=None):
                 or results[str(scale)]["mean"] > per_class_at_best[1]):
             per_class_at_best = (str(scale), results[str(scale)]["mean"])
 
+    if cfg.viz_dir:
+        best = float(per_class_at_best[0])
+        clouds = []
+        for label in range(n_classes):
+            sout = generate(dstate.params, vae_vars,
+                            jax.random.PRNGKey(cfg.seed + 977 + label),
+                            label=label, scale=best)
+            clouds.append(mt.utils.sparse_tensor_clouds(sout, 1)[0])
+        path = mt.utils.render_pointclouds(
+            clouds, os.path.join(cfg.viz_dir, "cond_control.png"),
+            titles=[f"cond: {c} (cfg {best})" for c in train_ds.CLASSES],
+            resolution=res)
+        print("render:", path, flush=True)
+
     out = {"classifier_val_acc": cls_val_acc,
            "classifier_val_per_class": per_cls_oracle, "cfg_sweep": results,
            "best_scale": per_class_at_best[0],
