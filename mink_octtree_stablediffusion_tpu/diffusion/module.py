@@ -75,6 +75,12 @@ def denoise_loss(scheduler, model_output: SparseTensor, latent: SparseTensor,
     if prediction_type == "epsilon":
         se = (model_output.features - noise) ** 2 * v
         return jnp.sum(se) / jnp.maximum(jnp.sum(v) * noise.shape[1], 1.0)
+    if prediction_type == "v_prediction":
+        bid = jnp.clip(latent.grid.batch_ids(), 0, latent.batch_size - 1)
+        target = scheduler.get_velocity(latent.features, noise,
+                                        timesteps[bid])
+        se = (model_output.features - target) ** 2 * v
+        return jnp.sum(se) / jnp.maximum(jnp.sum(v) * noise.shape[1], 1.0)
     # sample prediction: per-instance mean MSE weighted by SNR = ᾱ/(1−ᾱ)
     ac = scheduler.alphas_cumprod[timesteps]
     snr = ac / (1.0 - ac)

@@ -130,3 +130,24 @@ class TestProceduralShapes:
             for i in range(4):
                 c = ds[i]["coords"]
                 assert c.min() >= 0 and c.max() < 32
+
+
+def test_denoise_loss_v_prediction(rng):
+    """v-prediction target = sqrt(ac)·ε − sqrt(1−ac)·x0 per instance-t
+    (the ε-ablation mode, DESIGN §9 / RESULTS r3)."""
+    from mink_octtree_stablediffusion_tpu import diffusion as md
+
+    grid = canvas_grid(2, 16, 8)
+    x0 = jnp.asarray(rng.randn(grid.capacity, 4).astype(np.float32))
+    lat = mt.SparseTensor(grid=grid, features=x0)
+    sched = md.DDPMScheduler.create(prediction_type="v_prediction")
+    noise = jnp.asarray(rng.randn(*x0.shape).astype(np.float32))
+    t = jnp.asarray([3, 77])
+    out = lat.with_features(jnp.asarray(
+        rng.randn(*x0.shape).astype(np.float32)))
+    loss = md.denoise_loss(sched, out, lat, noise, t, "v_prediction")
+    bid = np.asarray(grid.batch_ids())
+    ac = np.asarray(sched.alphas_cumprod)[np.asarray(t)[bid]][:, None]
+    target = np.sqrt(ac) * np.asarray(noise) - np.sqrt(1 - ac) * np.asarray(x0)
+    expect = np.mean((np.asarray(out.features) - target) ** 2)
+    np.testing.assert_allclose(float(loss), expect, rtol=1e-5)
