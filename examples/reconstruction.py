@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--resolution", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--opt", choices=["sgd", "adam"], default="sgd",
+                   help="reference uses raw SGD (`:548-625`); adam+clip is "
+                        "the faster-converging alternative")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--max_epochs", type=int, default=50)
@@ -98,7 +101,10 @@ def main():
     variables = jax.jit(net.init)(rng, z0, tg0)
     log.info("params: %s", mt.utils.count_params(variables["params"]))
 
-    tx = optax.sgd(cfg.lr, momentum=0.9)  # reference uses raw SGD (`:548-625`)
+    if cfg.opt == "adam":
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
+    else:
+        tx = optax.sgd(cfg.lr, momentum=0.9)  # reference's raw SGD (`:548-625`)
     state = mtrain.TrainState.create(variables["params"],
                                      variables.get("batch_stats", {}), tx)
 
@@ -163,7 +169,11 @@ def main():
 
     step, t0 = 0, time.time()
     final_iou = None
-    for epoch in range(cfg.max_epochs):
+    # a --steps cap overrides the epoch cap (20k steps is ~300 epochs of
+    # the 256-sample pool; the old epoch cap silently ended runs at 3.2k)
+    epochs = cfg.max_epochs if not cfg.steps else \
+        max(cfg.max_epochs, -(-cfg.steps // max(len(ds) // b, 1)))
+    for epoch in range(epochs):
         for samples in batch_iterator(ds, b, np_rng):
             cpad, valid, _, _ = collate_pointclouds(
                 [s["coords"] for s in samples], cap)
