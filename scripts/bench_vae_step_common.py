@@ -25,4 +25,7 @@ def make_batch(rng, steps, b, cap, res, pts):
         cpad, vpad = mt.ops.pad_to_capacity(coords, cap)
         cs.append(cpad)
         vs.append(vpad)
-    return jnp.asarray(np.stack(cs)), jnp.asarray(np.stack(vs))
+    # transfer per-step slices, stack on device: one big [steps, cap, 4]
+    # host->device message can stall the remote tunnel at res-128 sizes
+    return (jnp.stack([jnp.asarray(c) for c in cs]),
+            jnp.stack([jnp.asarray(v) for v in vs]))
