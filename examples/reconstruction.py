@@ -46,7 +46,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--max_epochs", type=int, default=50)
-    p.add_argument("--input_capacity", type=int, default=32768)
+    p.add_argument("--input_capacity", type=int, default=65536)
+    p.add_argument("--num_points", type=int, default=32768,
+                   help="surface samples per shape; must cover the voxel "
+                        "shell (~10k voxels/shape at res 64) — sparse "
+                        "sampling turns each target into a random subset "
+                        "and floors the per-level BCE at the subset "
+                        "entropy (~0.12 at 4096 pts), killing eval decode")
     p.add_argument("--eval_every", type=int, default=100,
                    help="eval-mode generation IoU vs per-class targets "
                         "every N steps (reference's per-epoch visual check, "
@@ -60,7 +66,8 @@ def main():
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("reconstruction")
     np_rng = np.random.RandomState(cfg.seed)
-    ds = SyntheticShapes(resolution=cfg.resolution, num_samples=256)
+    ds = SyntheticShapes(resolution=cfg.resolution, num_samples=256,
+                         points_per_shape=cfg.num_points)
     n_classes = len(ds.CLASSES)
     b = cfg.batch_size
     cap = cfg.input_capacity
@@ -135,7 +142,7 @@ def main():
     # made quantitative).  SyntheticShapes geometry is canonical per class,
     # so class -> shape is the right target up to surface-sampling noise.
     ds_val = SyntheticShapes(resolution=cfg.resolution, num_samples=b,
-                             points_per_shape=4096, seed=777)
+                             points_per_shape=cfg.num_points, seed=777)
     eval_samples = [ds_val[i] for i in range(b)]
     ecpad, evalid, _, _ = collate_pointclouds(
         [s["coords"] for s in eval_samples], cap)
