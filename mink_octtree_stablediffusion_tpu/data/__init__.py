@@ -9,6 +9,7 @@ from .datasets import (
     ShapeNetDataset,
     SyntheticShapes,
     batch_iterator,
+    load_obj,
     load_off,
 )
 from .mesh import (
@@ -24,6 +25,6 @@ __all__ = [
     "collate_fields", "collate_pointclouds", "stack_devices", "PrefetchLoader",
     "ModelNet40Dataset", "ObjaverseDataset", "ProceduralShapes",
     "ShapeNetDataset", "SyntheticShapes",
-    "batch_iterator", "load_glb", "load_off", "normalize_to_resolution", "point_budget",
+    "batch_iterator", "load_glb", "load_obj", "load_off", "normalize_to_resolution", "point_budget",
     "resample_mesh", "resample_mesh_count", "rotate_point_cloud",
 ]

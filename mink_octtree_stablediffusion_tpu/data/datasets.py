@@ -37,6 +37,28 @@ def load_off(path: str):
     return verts, faces
 
 
+def load_obj(path: str):
+    """Minimal Wavefront OBJ reader (ShapeNet format): ``v`` positions +
+    fan-triangulated ``f`` faces (v/vt/vn indices accepted, negative
+    indices resolved).  The reference loads these with trimesh
+    (`examples/ae_res.py:217-276`); this stays dependency-free."""
+    verts: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):  # fan-triangulate n-gons
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, float), np.asarray(faces, int)
+
+
+_MESH_LOADERS = {".off": load_off, ".obj": load_obj}
+
+
 class SyntheticShapes:
     """Parametric surfaces voxelized like the mesh datasets — the
     dependency-free fixture for tests/benchmarks (reference's overfit
@@ -107,6 +129,25 @@ class ProceduralShapes(SyntheticShapes):
 
     _SPLIT_OFFSET = {"train": 0, "val": 1 << 24, "test": 1 << 25}
 
+    @staticmethod
+    def _mix_seed(seed: int, split_offset: int, idx: int) -> int:
+        """SplitMix64-style hash of (seed, split, idx) → RandomState seed.
+
+        Raw addition makes ``ds(seed=s)[i]`` sample-identical to
+        ``ds(seed=s+k)[i-k]`` and lets a large-enough train stream overlap
+        the val offset — different (seed, split) configs could silently
+        share geometry (ADVICE r3).  Hashing makes the streams pairwise
+        independent and keeps every (seed, split, idx) deterministic.
+        """
+        x = (seed * 0x9E3779B97F4A7C15 + split_offset * 0xBF58476D1CE4E5B9
+             + idx * 0x94D049BB133111EB + 0xD6E8FEB86659FD93) % (1 << 64)
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) % (1 << 64)
+        x ^= x >> 31
+        return int(x & 0x7FFFFFFF)
+
     def __init__(self, resolution: int = 64, num_samples: int = 512,
                  points_per_shape: int = 4096, seed: int = 0,
                  split: str = "train", composite_prob: float = 0.25,
@@ -164,7 +205,7 @@ class ProceduralShapes(SyntheticShapes):
 
     def __getitem__(self, idx: int):
         rng = np.random.RandomState(
-            self.seed + self._SPLIT_OFFSET[self.split] + idx)
+            self._mix_seed(self.seed, self._SPLIT_OFFSET[self.split], idx))
         label = idx % len(self.CLASSES)
         kind = self.CLASSES[label]
         if rng.rand() < self.composite_prob:
@@ -212,7 +253,7 @@ class ModelNet40Dataset:
                 d = os.path.join(root, c, phase)
                 if os.path.isdir(d):
                     for f in sorted(os.listdir(d)):
-                        if f.endswith(".off"):
+                        if os.path.splitext(f)[1] in _MESH_LOADERS:
                             self.files.append(os.path.join(d, f))
                             self.labels.append(li)
 
@@ -232,7 +273,7 @@ class ModelNet40Dataset:
         if cache and os.path.exists(cache):
             xyz = np.load(cache)
         else:
-            verts, faces = load_off(path)
+            verts, faces = _MESH_LOADERS[os.path.splitext(path)[1]](path)
             lo, hi = point_budget(self.resolution)
             n = min(max(lo * 2, 2 * self.resolution ** 2), hi)
             xyz = resample_mesh_count(verts, faces, n, self.rng)

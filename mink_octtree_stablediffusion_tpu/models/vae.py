@@ -21,6 +21,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import membership, prune, top_k_mask
 from ..ops.canvas import canvas_grid, expand_to_canvas
@@ -171,6 +172,14 @@ class VAE(nn.Module):
         """Scatter a sparse latent onto the full dense canvas at its stride."""
         assert z.grid.extent is not None, (
             "latent_canvas needs a bounded input grid (extent=...)")
+        # an undersized level-0 buffer would make stride_grid/unique_coords
+        # silently truncate the level-0 membership target (the repo's known
+        # capacity-overflow class) — fail loudly instead (ADVICE r3)
+        cells = z.batch_size * int(np.prod(
+            [-(-e // s) for e, s in zip(z.grid.extent, z.grid.stride)]))
+        assert self.decoder_capacities[0] >= cells, (
+            f"latent_canvas needs decoder_capacities[0] >= batch*canvas "
+            f"cells ({cells}); got {self.decoder_capacities[0]}")
         canvas = canvas_grid(z.batch_size, z.grid.extent, z.grid.stride,
                              z.grid.ndim)
         std = self.canvas_noise_std if noise_rng is not None else 0.0

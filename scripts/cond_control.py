@@ -24,10 +24,13 @@ TPU run (after e2e_generalize has trained the VAE):
 """
 
 import argparse
+import itertools
 import json
 import os
 import sys
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -71,9 +74,16 @@ def parse_args(argv=None):
     p.add_argument("--cond_dropout", type=float, default=0.1)
     p.add_argument("--cfg_scales", type=float, nargs="+",
                    default=[1.0, 2.0, 3.0])
-    p.add_argument("--rounds", type=int, default=3,
+    p.add_argument("--rounds", type=int, default=13,
                    help="sampling rounds per (class, scale); batch_size "
-                        "samples each")
+                        "samples each (13 x 4 = 52/class: the r3 default of "
+                        "12 samples gave +-0.23 CIs — too thin to attribute "
+                        "per-class failures, VERDICT r3)")
+    p.add_argument("--oracle_shapes", type=int, default=128,
+                   help="held-out shapes for the oracle's confusion matrix")
+    p.add_argument("--stream", action="store_true",
+                   help="train classifier+diffusion on FRESH generator "
+                        "seeds every batch (see e2e_generalize --stream)")
     p.add_argument("--steps_cls", type=int, default=600)
     p.add_argument("--cls_points", type=int, default=2048)
     p.add_argument("--steps_diff", type=int, default=10000)
@@ -109,6 +119,35 @@ def main(argv=None):
 
     train_samples = [train_ds[i] for i in range(cfg.train_shapes)]
     val_samples = [val_ds[i] for i in range(cfg.val_shapes)]
+    # larger held-out set for the oracle confusion matrix (the val split is
+    # an unbounded seed space; indices beyond val_shapes are equally held
+    # out)
+    oracle_ds = ProceduralShapes(resolution=res,
+                                 num_samples=cfg.oracle_shapes,
+                                 points_per_shape=cfg.points, seed=cfg.seed,
+                                 split="val",
+                                 composite_prob=cfg.composite_prob)
+    oracle_samples = [oracle_ds[i] for i in range(cfg.oracle_shapes)]
+
+    if cfg.stream:
+        _counter = itertools.count()
+        _tpool = ThreadPoolExecutor(max_workers=3)
+
+        def _gen_labeled():
+            samples = [train_ds[i]
+                       for i in (next(_counter) for _ in range(b))]
+            return samples
+
+        _squeue = deque(_tpool.submit(_gen_labeled) for _ in range(6))
+
+        def next_train_samples():
+            fut = _squeue.popleft()
+            _squeue.append(_tpool.submit(_gen_labeled))
+            return fut.result()
+    else:
+        def next_train_samples():
+            idx = np_rng.randint(0, cfg.train_shapes, b)
+            return [train_samples[i] for i in idx]
 
     # ---- classifier (the verdict oracle) on voxel-coordinate clouds ----
     # Decoded generations are voxel sets, so the classifier consumes voxel
@@ -171,10 +210,9 @@ def main(argv=None):
 
     t0 = time.time()
     for step in range(1, cfg.steps_cls + 1):
-        idx = np_rng.randint(0, cfg.train_shapes, b)
-        batch = cls_collate([train_samples[i]["coords"] for i in idx])
-        labels = jnp.asarray([train_samples[i]["label"] for i in idx],
-                             jnp.int32)
+        samples = next_train_samples()
+        batch = cls_collate([s["coords"] for s in samples])
+        labels = jnp.asarray([s["label"] for s in samples], jnp.int32)
         rng, sub = jax.random.split(rng)
         clf_state, loss, aux = clf_step(clf_state, (*batch, labels), sub)
         if step % 100 == 0 or step == cfg.steps_cls:
@@ -196,16 +234,38 @@ def main(argv=None):
                 preds.append(int(pr[j]) if len(c) else -1)
         return preds
 
-    # held-out classifier accuracy — the oracle must itself be trustworthy
-    val_pred = classify([s["coords"] for s in val_samples])
-    val_true = [s["label"] for s in val_samples]
+    # held-out oracle accuracy + FULL confusion matrix — with it the
+    # conditional-accuracy numbers can be decomposed into oracle error vs
+    # generation error (VERDICT r3 item 2)
+    val_pred = classify([s["coords"] for s in oracle_samples])
+    val_true = [s["label"] for s in oracle_samples]
     cls_val_acc = float(np.mean([p == t for p, t in zip(val_pred, val_true)]))
-    per_cls_oracle = {}
-    for li, name in enumerate(train_ds.CLASSES):
-        hits = [p == t for p, t in zip(val_pred, val_true) if t == li]
-        per_cls_oracle[name] = float(np.mean(hits)) if hits else float("nan")
+    confusion = np.zeros((n_classes, n_classes))  # [true, pred]
+    for p, t in zip(val_pred, val_true):
+        if p >= 0:
+            confusion[t, p] += 1
+    row = confusion.sum(1, keepdims=True)
+    conf_norm = confusion / np.maximum(row, 1.0)
+    per_cls_oracle = {name: float(conf_norm[li, li])
+                      for li, name in enumerate(train_ds.CLASSES)}
     print(f"classifier held-out val acc: {cls_val_acc:.4f} "
-          f"(per-class {per_cls_oracle})", flush=True)
+          f"({cfg.oracle_shapes} shapes; per-class {per_cls_oracle})",
+          flush=True)
+    print("oracle confusion (rows true, cols pred):\n" +
+          "\n".join(f"  {train_ds.CLASSES[i]:9s} " +
+                    " ".join(f"{conf_norm[i, j]:.3f}"
+                             for j in range(n_classes))
+                    for i in range(n_classes)), flush=True)
+
+    def confusion_correct(pred_hist: np.ndarray) -> np.ndarray:
+        """Estimate the TRUE generated-class distribution p from the
+        observed oracle-prediction histogram q: q = Mᵀ p with M the
+        oracle's row-stochastic confusion matrix — least squares, clipped
+        to the simplex.  Separates oracle confusion from generation error."""
+        q = pred_hist / max(pred_hist.sum(), 1.0)
+        p, *_ = np.linalg.lstsq(conf_norm.T, q, rcond=None)
+        p = np.clip(p, 0.0, None)
+        return p / max(p.sum(), 1e-9)
 
     # ---- restore the generalization VAE ----
     enc_caps, dec_caps = capacities(cap)
@@ -303,10 +363,9 @@ def main(argv=None):
                   flush=True)
         t0 = time.time()
         for step in range(int(dstate.step) + 1, cfg.steps_diff + 1):
-            idx = np_rng.randint(0, cfg.train_shapes, b)
-            batch = collate([train_samples[i] for i in idx])
-            labels = jnp.asarray([train_samples[i]["label"] for i in idx],
-                                 jnp.int32)
+            samples = next_train_samples()
+            batch = collate(samples)
+            labels = jnp.asarray([s["label"] for s in samples], jnp.int32)
             rng, sub = jax.random.split(rng)
             dstate, loss, aux = dstep_fn(
                 dstate, (*batch, labels, vae_vars), sub)
@@ -350,12 +409,14 @@ def main(argv=None):
     results = {}
     per_class_at_best = None
     for scale in cfg.cfg_scales:
-        per_class = {}
+        per_class, per_class_corr, per_class_ci = {}, {}, {}
         for label in range(n_classes):
             clouds = []
             for r in range(cfg.rounds):
                 sout = generate(dstate.params, vae_vars,
-                                jax.random.PRNGKey(cfg.seed + 31 * label + r),
+                                jax.random.PRNGKey(cfg.seed + 997 * label
+                                                   + 31 * r
+                                                   + int(scale * 7919)),
                                 label=label, scale=float(scale))
                 s = voxel_sets(sout)
                 for j in range(b):
@@ -363,13 +424,32 @@ def main(argv=None):
                     clouds.append(np.array(sorted(vox), np.int64).reshape(
                         -1, 3) if vox else np.zeros((0, 3), np.int64))
             preds = classify(clouds)
+            n = len(preds)
             acc = float(np.mean([p == label for p in preds]))
-            per_class[train_ds.CLASSES[label]] = acc
-            print(f"cfg {scale}: class {train_ds.CLASSES[label]} -> "
-                  f"conditional acc {acc:.3f} (preds {preds})", flush=True)
+            ci = 1.96 * float(np.sqrt(max(acc * (1 - acc), 1e-9) / n))
+            hist = np.zeros(n_classes)
+            for p in preds:
+                if p >= 0:
+                    hist[p] += 1
+            corrected = confusion_correct(hist)
+            empty = sum(1 for p in preds if p < 0)
+            name = train_ds.CLASSES[label]
+            per_class[name] = acc
+            per_class_ci[name] = ci
+            per_class_corr[name] = float(corrected[label])
+            print(f"cfg {scale}: class {name} -> conditional acc "
+                  f"{acc:.3f} +-{ci:.3f} (n={n}, empty={empty}); "
+                  f"oracle-corrected true-class share "
+                  f"{corrected[label]:.3f}; pred hist "
+                  f"{hist.astype(int).tolist()}", flush=True)
         results[str(scale)] = {
             "per_class": per_class,
+            "per_class_ci95": per_class_ci,
+            "per_class_oracle_corrected": per_class_corr,
             "mean": float(np.mean(list(per_class.values()))),
+            "mean_oracle_corrected": float(
+                np.mean(list(per_class_corr.values()))),
+            "samples_per_class": cfg.rounds * b,
         }
         if (per_class_at_best is None
                 or results[str(scale)]["mean"] > per_class_at_best[1]):
@@ -390,9 +470,13 @@ def main(argv=None):
         print("render:", path, flush=True)
 
     out = {"classifier_val_acc": cls_val_acc,
-           "classifier_val_per_class": per_cls_oracle, "cfg_sweep": results,
+           "classifier_val_per_class": per_cls_oracle,
+           "oracle_confusion": conf_norm.tolist(),
+           "oracle_shapes": cfg.oracle_shapes,
+           "cfg_sweep": results,
            "best_scale": per_class_at_best[0],
-           "best_mean_conditional_acc": per_class_at_best[1]}
+           "best_mean_conditional_acc": per_class_at_best[1],
+           "stream": cfg.stream}
     print(json.dumps(out), flush=True)
     return out
 

@@ -29,10 +29,13 @@ TPU run:
 """
 
 import argparse
+import itertools
 import json
 import os
 import sys
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -64,6 +67,18 @@ def parse_args(argv=None):
     p.add_argument("--input_capacity", type=int, default=65536)
     p.add_argument("--train_shapes", type=int, default=512)
     p.add_argument("--val_shapes", type=int, default=32)
+    p.add_argument("--stream", action="store_true",
+                   help="draw every train batch from FRESH generator seeds "
+                        "(unbounded index stream) instead of the fixed "
+                        "train_shapes pool — removes the pool-overfit axis "
+                        "entirely (VERDICT r3 item 3); train_shapes then "
+                        "only sizes the novelty bank / train-IoU probe")
+    p.add_argument("--stream_workers", type=int, default=3,
+                   help="host threads prefetching streamed batches")
+    p.add_argument("--caps", type=int, nargs=9, default=None,
+                   help="5 encoder + 4 decoder capacities (overrides the "
+                        "rule-of-thumb schedule; use "
+                        "scripts/measure_occupancy.py --procedural)")
     p.add_argument("--composite_prob", type=float, default=0.25)
     p.add_argument("--vae_channel", type=int, nargs=5,
                    default=[32, 128, 512, 512, 4])
@@ -149,13 +164,46 @@ def main(argv=None):
             [pool[i] for i in idxs], cap)
         return (jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
 
-    def train_batch():
-        return collate(np_rng.randint(0, cfg.train_shapes, b), train_coords)
+    if cfg.stream:
+        # fresh shapes every step: the generator is parametric, so the
+        # train distribution is effectively infinite — the honest analogue
+        # of ModelNet40's mesh diversity with the pool-overfit axis removed.
+        # Host-side generation (~0.1-0.3 s/shape at res 128) is overlapped
+        # with the device step by a small thread pool.
+        _counter = itertools.count()
+        _pool = ThreadPoolExecutor(max_workers=cfg.stream_workers)
+
+        def _gen_batch():
+            idxs = [next(_counter) for _ in range(b)]
+            cpad, valid, feats, _ = collate_pointclouds(
+                [train_ds[i]["coords"] for i in idxs], cap)
+            return (jnp.asarray(cpad), jnp.asarray(valid),
+                    jnp.asarray(feats))
+
+        _queue = deque(_pool.submit(_gen_batch)
+                       for _ in range(2 * cfg.stream_workers))
+
+        def train_batch():
+            fut = _queue.popleft()
+            _queue.append(_pool.submit(_gen_batch))
+            return fut.result()
+    else:
+        def train_batch():
+            return collate(np_rng.randint(0, cfg.train_shapes, b),
+                           train_coords)
 
     val_batches = [collate(range(i, i + b), val_coords)
                    for i in range(0, cfg.val_shapes - b + 1, b)]
+    # train-IoU probe: as many batches as the val protocol averages, so the
+    # train/val gap compares like against like (ADVICE r3)
+    train_probe = [collate(range(i, i + b), train_coords)
+                   for i in range(0, min(cfg.train_shapes, cfg.val_shapes)
+                                  - b + 1, b)]
 
-    enc_caps, dec_caps = capacities(cap)
+    if cfg.caps is not None:
+        enc_caps, dec_caps = tuple(cfg.caps[:5]), tuple(cfg.caps[5:])
+    else:
+        enc_caps, dec_caps = capacities(cap)
     dec_caps = (max(dec_caps[0], b * cells),) + tuple(dec_caps[1:])
     vae = mm.VAE(channels=tuple(cfg.vae_channel),
                  encoder_capacities=enc_caps, decoder_capacities=dec_caps,
@@ -237,10 +285,7 @@ def main(argv=None):
     vae_vars = jax.tree.map(jax.lax.stop_gradient, vae_vars)
 
     final_val_iou = val_recon_iou(vae_vars, val_batches)
-    train_iou = None
-    st_tr, st_tr_rec = reconstruct(vae_vars, *collate(range(b), train_coords),
-                                   jax.random.PRNGKey(9))
-    train_iou = mean_iou(voxel_sets(st_tr), voxel_sets(st_tr_rec))
+    train_iou = val_recon_iou(vae_vars, train_probe)
     print(f"HELD-OUT reconstruction IoU ({cfg.val_shapes} val shapes): "
           f"{final_val_iou:.4f}  (train-set IoU {train_iou:.4f})", flush=True)
 
@@ -249,6 +294,8 @@ def main(argv=None):
         result = {"val_recon_iou": final_val_iou,
                   "train_recon_iou": train_iou,
                   "train_shapes": cfg.train_shapes,
+                  "stream": cfg.stream,
+                  "resolution": res,
                   "steps_vae": cfg.steps_vae}
         print(json.dumps(result), flush=True)
         return result
@@ -414,6 +461,8 @@ def main(argv=None):
         "gen_nearest_val_iou_mean": float(np.mean(nearest_val)),
         "gen_voxels_median": int(np.median(counts)),
         "prediction_type": cfg.prediction_type,
+        "stream": cfg.stream,
+        "resolution": res,
     }
     print(json.dumps(result), flush=True)
     return result
