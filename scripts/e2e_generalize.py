@@ -408,16 +408,30 @@ def main(argv=None):
           f"min {min(counts)} median {int(np.median(counts))} "
           f"max {max(counts)}", flush=True)
 
-    # membership + novelty vs the banks
-    train_bank = [set(map(tuple, c)) for c in train_coords]
-    val_bank = [set(map(tuple, c)) for c in val_coords]
+    # membership + novelty vs the banks — flat int64 keys + sorted
+    # intersections, NOT Python sets of tuples: at res 128 the 4096-shape
+    # bank as tuple-sets costs ~200 B/voxel ≈ 35+ GB and OOM-kills the
+    # 1-core host (observed: 99 GB RSS)
+    def flat_keys(arr) -> np.ndarray:
+        c = np.asarray(arr, np.int64)
+        return np.unique((c[:, 0] * res + c[:, 1]) * res + c[:, 2])
+
+    def iou_keys(a: np.ndarray, b: np.ndarray) -> float:
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        u = len(a) + len(b) - inter
+        return inter / u if u else 1.0
+
+    train_bank = [flat_keys(c) for c in train_coords]
+    val_bank = [flat_keys(c) for c in val_coords]
+    gen_keys = [flat_keys(np.array(sorted(g), np.int64).reshape(-1, 3))
+                if g else np.empty((0,), np.int64) for g in gen_sets]
     tcounts = [len(s) for s in train_bank]
     lo_count = 0.3 * float(np.median(tcounts))
     nearest_train, nearest_val = [], []
-    for g in gen_sets:
-        nearest_train.append(max((iou_sets(g, t) for t in train_bank),
+    for g in gen_keys:
+        nearest_train.append(max((iou_keys(g, t) for t in train_bank),
                                  default=0.0))
-        nearest_val.append(max((iou_sets(g, t) for t in val_bank),
+        nearest_val.append(max((iou_keys(g, t) for t in val_bank),
                               default=0.0))
     # size-validity only: voxel-set IoU between two honestly different
     # poses/aspects of the same class is ~0.1-0.2, so nearest-IoU is a
