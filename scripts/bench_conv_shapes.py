@@ -85,8 +85,12 @@ def bench_config(coords: np.ndarray, cin: int, cout: int, extent, batch: int,
                     carry, valid, cap, batch_size=batch, extent=extent)
                 f = mt.ops.reduce_by_inverse(f_i, inverse, valid, cap, "sum")
                 if mt.ops.onehot_conv.enabled(grid):
+                    # wide channels need the default 128/256 tiling (the
+                    # 256/512 tiles of the Cin=3 headline exceed the 16MB
+                    # VMEM budget at C>=256)
+                    tile, tw = (256, 512) if cin <= 64 else (128, 256)
                     out = mt.ops.fused_sparse_conv(f, kernel, grid, grid,
-                                                   spec, tile=256, tw=512)
+                                                   spec, tile=tile, tw=tw)
                 else:
                     nbr = mt.ops.kernel_map(grid, grid, spec)
                     out = mt.ops.sparse_conv_apply(f, kernel, nbr)
