@@ -201,6 +201,10 @@ def main():
         "unit": "points/sec/chip",
         "vs_baseline": round(pps / BASELINE_PPS, 3),
         "achieved_tflops": round(flops / per_iter / 1e12, 4),
+        # the fused conv's MXU GEMMs run in bf16 (onehot_conv default
+        # compute_dtype); fp32 is only the HBM storage dtype, so the bf16
+        # peak is the right denominator (ADVICE r4)
+        "compute_dtype": "bfloat16",
         "mfu_bf16_peak": round(flops / per_iter / V5E_PEAK_BF16_FLOPS, 6),
         "hbm_gbps_algorithmic": round(bytes_moved / per_iter / 1e9, 2),
         "hbm_frac_peak": round(bytes_moved / per_iter / V5E_HBM_BYTES_PER_S,

@@ -1,6 +1,7 @@
 """Data pipeline: mesh sampling, voxelization, fixed-capacity collation."""
 
 from .collate import collate_fields, collate_pointclouds, stack_devices
+from .device_shapes import pack_voxels, procedural_batch, sample_shape
 from .prefetch import PrefetchLoader
 from .datasets import (
     ModelNet40Dataset,
@@ -26,5 +27,6 @@ __all__ = [
     "ModelNet40Dataset", "ObjaverseDataset", "ProceduralShapes",
     "ShapeNetDataset", "SyntheticShapes",
     "batch_iterator", "load_glb", "load_obj", "load_off", "normalize_to_resolution", "point_budget",
-    "resample_mesh", "resample_mesh_count", "rotate_point_cloud",
+    "pack_voxels", "procedural_batch", "resample_mesh",
+    "resample_mesh_count", "rotate_point_cloud", "sample_shape",
 ]

@@ -11,6 +11,7 @@ Gated on data presence; `SyntheticShapes` provides a dependency-free stand-in
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import List, Optional, Sequence
 
@@ -46,14 +47,18 @@ def load_obj(path: str):
     faces: List[List[int]] = []
     with open(path) as f:
         for line in f:
-            if line.startswith("v "):
-                verts.append([float(x) for x in line.split()[1:4]])
-            elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+            toks = line.split()  # token split handles tabs/multi-space
+            if not toks:
+                continue
+            if toks[0] == "v":
+                verts.append([float(x) for x in toks[1:4]])
+            elif toks[0] == "f":
+                idx = [int(tok.split("/")[0]) for tok in toks[1:]]
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
                 for k in range(1, len(idx) - 1):  # fan-triangulate n-gons
                     faces.append([idx[0], idx[k], idx[k + 1]])
-    return np.asarray(verts, float), np.asarray(faces, int)
+    return (np.asarray(verts, float),
+            np.asarray(faces, int).reshape(-1, 3))
 
 
 _MESH_LOADERS = {".off": load_off, ".obj": load_obj}
@@ -267,9 +272,14 @@ class ModelNet40Dataset:
         cache = None
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)
+            # key on the path RELATIVE to root, not the basename: ShapeNet
+            # dumps share names (model.obj) across class dirs and a
+            # basename key silently serves the wrong geometry
+            rel = os.path.relpath(path, self.root)
+            tag = hashlib.sha1(rel.encode()).hexdigest()[:16]
             cache = os.path.join(
                 self.cache_dir,
-                os.path.basename(path) + f".r{self.resolution}.npy")
+                f"{os.path.basename(path)}.{tag}.r{self.resolution}.npy")
         if cache and os.path.exists(cache):
             xyz = np.load(cache)
         else:

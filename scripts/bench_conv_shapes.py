@@ -127,6 +127,9 @@ def bench_config(coords: np.ndarray, cin: int, cout: int, extent, batch: int,
         "sec_per_conv": round(per_iter, 6),
         "points_per_sec": round(n / per_iter, 1),
         "achieved_tflops": round(flops / per_iter / 1e12, 3),
+        # MXU GEMMs run in bf16 inside the Pallas kernel (fp32 is only the
+        # HBM storage dtype) — bf16 peak is the right denominator
+        "compute_dtype": "bfloat16",
         "mfu_bf16_peak": round(flops / per_iter / V5E_PEAK_BF16_FLOPS, 5),
         "hbm_gbps_algorithmic": round(bytes_moved / per_iter / 1e9, 2),
         "hbm_frac_peak": round(bytes_moved / per_iter /

@@ -426,7 +426,15 @@ def main(argv=None):
             preds = classify(clouds)
             n = len(preds)
             acc = float(np.mean([p == label for p in preds]))
-            ci = 1.96 * float(np.sqrt(max(acc * (1 - acc), 1e-9) / n))
+            # Wilson interval: the normal approximation collapses to
+            # +-0.000 at 0/n and n/n, overstating certainty exactly at
+            # the headline cells (ADVICE r4)
+            z = 1.96
+            center = (acc + z * z / (2 * n)) / (1 + z * z / n)
+            half = (z / (1 + z * z / n)) * float(
+                np.sqrt(acc * (1 - acc) / n + z * z / (4 * n * n)))
+            lo, hi = center - half, center + half
+            ci = max(acc - lo, hi - acc)  # reported as acc +- ci
             hist = np.zeros(n_classes)
             for p in preds:
                 if p >= 0:

@@ -75,6 +75,12 @@ def parse_args(argv=None):
                         "only sizes the novelty bank / train-IoU probe")
     p.add_argument("--stream_workers", type=int, default=3,
                    help="host threads prefetching streamed batches")
+    p.add_argument("--stream_device", action="store_true",
+                   help="TRUE streaming with ON-DEVICE shape synthesis "
+                        "(data/device_shapes.py): fresh parametric batch "
+                        "per step at device-millisecond cost, zero host "
+                        "work — removes the r4 host-bound 3.7x wall at "
+                        "res 128 (VERDICT r4 item 7)")
     p.add_argument("--caps", type=int, nargs=9, default=None,
                    help="5 encoder + 4 decoder capacities (overrides the "
                         "rule-of-thumb schedule; use "
@@ -164,7 +170,20 @@ def main(argv=None):
             [pool[i] for i in idxs], cap)
         return (jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(feats))
 
-    if cfg.stream:
+    if cfg.stream_device:
+        # on-device synthesis: the generator jits, so a fresh batch is
+        # device work queued ahead of the train step — no host transfer
+        from mink_octtree_stablediffusion_tpu.data import procedural_batch
+        _counter = itertools.count()
+        _skey = jax.random.PRNGKey(cfg.seed + 77)
+
+        def train_batch():
+            k = jax.random.fold_in(_skey, next(_counter))
+            cpad, valid, feats, _ = procedural_batch(
+                k, b, cfg.points, res, cap,
+                composite_prob=cfg.composite_prob)
+            return (cpad, valid, feats)
+    elif cfg.stream:
         # fresh shapes every step: the generator is parametric, so the
         # train distribution is effectively infinite — the honest analogue
         # of ModelNet40's mesh diversity with the pool-overfit axis removed.
