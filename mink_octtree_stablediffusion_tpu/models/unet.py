@@ -35,6 +35,9 @@ class UNet(nn.Module):
     out_channels: Optional[int] = None
     with_attn: bool = True
     attn_max_len: int = 512
+    # Morton-window self-attention for levels whose dense cell bound
+    # exceeds attn_max_len (res-256 canvases; see BasicBlock.attn_window)
+    attn_window: Optional[int] = None
     time_embedding_norm: str = "default"  # | "scale_shift"
     group: int = 1
     with_cross_attn: bool = False
@@ -48,6 +51,13 @@ class UNet(nn.Module):
     # flax lifted remat): trades recompute FLOPs for activation HBM — the
     # standard TPU memory lever for scaling batch or resolution
     remat: bool = False
+    # concat the conv_in activation into conv_out's input — a LEVEL-0 skip
+    # around the s1 stride-2 bottleneck.  The reference architecture has
+    # none (`diffusion.py:89-265`), and DESIGN §9 pins that as why its
+    # default ε-prediction target cannot learn the high-SNR per-voxel
+    # identity component; this flag is the constructive test of that
+    # mechanism (VERDICT r4 item 6)
+    level0_skip: bool = False
 
     def _group(self, out_ch: int, after: Optional[str], num_layers: int,
                with_attn: bool, cap: Optional[int], name: str):
@@ -61,6 +71,7 @@ class UNet(nn.Module):
                 use_time_emb=True, time_embedding_norm=self.time_embedding_norm,
                 group=self.group, with_attn=with_attn,
                 attn_max_len=self.attn_max_len,
+                attn_window=self.attn_window,
                 with_cross_attn=with_attn and self.with_cross_attn,
                 cross_attention_dim=self.cross_attention_dim,
                 out_capacity=cap if i == 0 else None,
@@ -100,6 +111,7 @@ class UNet(nn.Module):
                      for i, c in enumerate(self.down_capacities)]
 
         x = SparseConv(ch[0], kernel_size=3, name="conv_in")(x)
+        h0 = x  # level-0 activation for the optional skip
 
         def run(blocks, h, out_grid=None):
             for i, blk in enumerate(blocks):
@@ -136,6 +148,11 @@ class UNet(nn.Module):
         out = run(self._group(ch[0], "upsample", 3, self.with_attn,
                               clamp(x.capacity * self.up_capacity_factor, 0),
                               "block1_tr"), out, out_grid=x.grid)
+        if self.level0_skip:
+            # identity path around the s1 bottleneck: the noisy input's
+            # conv_in features reach conv_out directly (grid identity holds
+            # — block1_tr is pinned to x.grid)
+            out = cat(out, h0)
         out = SparseConv(self.out_channels or ch[0], kernel_size=3,
                          name="conv_out")(out)
         return out

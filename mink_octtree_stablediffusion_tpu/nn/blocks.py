@@ -19,7 +19,17 @@ import jax.numpy as jnp
 from ..ops import SparseGrid
 from ..tensor import SparseTensor
 from .act import get_act
-from .attention import SparseTransformer
+from .attention import MortonWindowTransformer, SparseTransformer
+
+
+def _per_instance_cells(grid) -> int:
+    """Static per-instance dense cell bound of a bounded grid (∞-proxy for
+    unbounded ones — windowed attention then always engages)."""
+    if grid.extent is None:
+        return 1 << 30
+    import numpy as _np
+    return int(_np.prod([-(-int(e) // int(s))
+                         for e, s in zip(grid.extent, grid.stride)]))
 from .conv import GenerativeConvTranspose, SparseConv, SparseConvTranspose, UpsampleInterpolate
 from .norm import BatchNorm, StableInstanceNorm
 from .pool import LocalPool, PoolTranspose, broadcast_op, global_pool_features
@@ -57,6 +67,13 @@ class BasicBlock(nn.Module):
     attn_max_len: int = 256
     with_cross_attn: bool = False
     cross_attention_dim: int = 768
+    # when set, levels whose per-instance dense cell bound exceeds
+    # attn_max_len run Morton-window SELF-attention (the reference's own
+    # long-context machinery, `ae_res.py:344-416`) instead of full padded
+    # attention — full attention is O(L²) and a res-256 stride-8 canvas
+    # holds 32768 cells/instance.  Cross-attention stays full (O(L·S),
+    # S = a few text/image tokens).
+    attn_window: Optional[int] = None
     act_fn: str = "elu"
     prenorm: bool = False
     axis_name: Optional[str] = None
@@ -104,8 +121,13 @@ class BasicBlock(nn.Module):
 
         if self.with_attn:
             out = out.with_features(act(out.features))
-            out = SparseTransformer(max_len=self.attn_max_len,
-                                    name="attentions")(out)
+            if (self.attn_window is not None
+                    and _per_instance_cells(out.grid) > self.attn_max_len):
+                out = MortonWindowTransformer(window_size=self.attn_window,
+                                              name="attentions")(out)
+            else:
+                out = SparseTransformer(max_len=self.attn_max_len,
+                                        name="attentions")(out)
             if self.with_cross_attn:
                 out = out.with_features(act(out.features))
                 out = SparseTransformer(
@@ -177,6 +199,7 @@ class ResNetStack(nn.Module):
     attn_max_len: int = 256
     with_cross_attn: bool = False
     cross_attention_dim: int = 768
+    attn_window: Optional[int] = None  # see BasicBlock.attn_window
     out_capacity: Optional[int] = None
     act_fn: str = "elu"
     axis_name: Optional[str] = None
@@ -230,6 +253,7 @@ class ResNetStack(nn.Module):
                 with_attn=self.with_attn, attn_max_len=self.attn_max_len,
                 with_cross_attn=self.with_cross_attn,
                 cross_attention_dim=self.cross_attention_dim,
+                attn_window=self.attn_window,
                 act_fn=self.act_fn, axis_name=self.axis_name,
                 name=f"block{i}",
             )(x, emb, encoder_hidden_state, train=train)

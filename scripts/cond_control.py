@@ -72,6 +72,13 @@ def parse_args(argv=None):
     p.add_argument("--cross_attention_dim", type=int, default=256)
     p.add_argument("--cond_tokens", type=int, default=4)
     p.add_argument("--cond_dropout", type=float, default=0.1)
+    p.add_argument("--embed", choices=["frozen", "learned"],
+                   default="learned",
+                   help="frozen = r3/r4 fixed random table; learned = "
+                        "train the class embeddings with the UNet")
+    p.add_argument("--time_norm", choices=["default", "scale_shift"],
+                   default="default",
+                   help="UNet time-embedding norm (scale_shift = FiLM)")
     p.add_argument("--cfg_scales", type=float, nargs="+",
                    default=[1.0, 2.0, 3.0])
     p.add_argument("--rounds", type=int, default=13,
@@ -305,16 +312,21 @@ def main(argv=None):
         return mt.ops.expand_to_canvas(mean, canvas)
 
     # ---- conditional diffusion ----
-    # fixed random class-embedding table (`diffusion_cross.py:809-812` role;
-    # the conditioning signal is the table row, null = zeros)
+    # class-embedding table (`diffusion_cross.py:809-812` role; the
+    # conditioning signal is the table rows, null = zeros).  r3/r4 used a
+    # FROZEN random table; --embed learned trains it jointly with the UNet
+    # (VERDICT r4 item 4: box/cylinder were generation-limited and a
+    # frozen random code gives the model nothing class-structured to read)
     S, D = cfg.cond_tokens, cfg.cross_attention_dim
-    table = jnp.asarray(np.random.RandomState(7).randn(
-        n_classes, S, D).astype(np.float32))
+    table0 = np.random.RandomState(7).randn(
+        n_classes, S, D).astype(np.float32)
+    table = jnp.asarray(table0)  # frozen fallback / init shape
 
     lat0 = jax.jit(encode_canvas)(vae_vars, st0)
     attn_max_len = max(-(-cells // 128) * 128, 128)
     unet = mm.UNet(channels=tuple(cfg.unet_channel), group=cfg.group,
                    with_cross_attn=True, cross_attention_dim=D,
+                   time_embedding_norm=cfg.time_norm,
                    attn_max_len=attn_max_len,
                    down_capacities=(max(b * cells // 8, 16),
                                     max(b * cells // 64, 8),
@@ -328,7 +340,10 @@ def main(argv=None):
 
     tx2 = mtrain.diffusion_optimizer(cfg.lr_diff, warmup_steps=100,
                                      total_steps=cfg.steps_diff)
-    dstate = mtrain.TrainState.create({"unet": unet_vars["params"]}, {}, tx2)
+    params0 = {"unet": unet_vars["params"]}
+    if cfg.embed == "learned":
+        params0["cond_table"] = jnp.asarray(table0)
+    dstate = mtrain.TrainState.create(params0, {}, tx2)
     diff_ckpt = mtrain.CheckpointManager(
         os.path.join(cfg.ckpt_dir, "diff_cond"))
 
@@ -336,7 +351,8 @@ def main(argv=None):
         cpad, valid, feats, labels, vv = batch
         latent = encode_canvas(vv, build(cpad, valid, feats))
         r_drop, r_loss = jax.random.split(rng)
-        ehs = table[labels]
+        tbl = params.get("cond_table", table)
+        ehs = tbl[labels]
         # classifier-free-guidance training: drop to null cond per instance
         drop = jax.random.bernoulli(r_drop, cfg.cond_dropout, (b, 1, 1))
         ehs = jnp.where(drop, 0.0, ehs)
@@ -390,7 +406,8 @@ def main(argv=None):
     # in Python (CFG doubles the UNet calls), so it cannot be traced
     @partial(jax.jit, static_argnames=("label", "scale"))
     def generate(params, vv, rng, *, label, scale):
-        ehs = table[jnp.full((b,), label, jnp.int32)]
+        tbl = params.get("cond_table", table)
+        ehs = tbl[jnp.full((b,), label, jnp.int32)]
 
         def unet_apply(noised, timesteps, cond):
             return unet.apply({"params": params["unet"]}, noised, timesteps,

@@ -106,6 +106,19 @@ def parse_args(argv=None):
     p.add_argument("--diff_opt", choices=["adamw", "adafactor"],
                    default="adamw")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--attn_window", type=int, default=None,
+                   help="Morton-window self-attention for UNet levels "
+                        "whose dense cell bound exceeds attn_max_len "
+                        "(needed at res 256: the stride-8 canvas holds "
+                        "32768 cells/instance — full attention is O(L^2))")
+    p.add_argument("--attn_max_len", type=int, default=None,
+                   help="override the level-0-cells default (with "
+                        "--attn_window this is the full-vs-windowed "
+                        "threshold)")
+    p.add_argument("--level0_skip", action="store_true",
+                   help="UNet concat of the conv_in activation into "
+                        "conv_out — the identity path DESIGN 9 predicts "
+                        "unbinds the epsilon target (VERDICT r4 item 6)")
     p.add_argument("--eval_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default="ckpt_generalize")
@@ -330,9 +343,11 @@ def main(argv=None):
         return mt.ops.expand_to_canvas(mean, canvas)
 
     lat0 = jax.jit(encode_canvas)(vae_vars, st0)
-    attn_max_len = max(-(-cells // 128) * 128, 128)
+    attn_max_len = cfg.attn_max_len or max(-(-cells // 128) * 128, 128)
     unet = mm.UNet(channels=tuple(cfg.unet_channel), group=cfg.group,
                    attn_max_len=attn_max_len, remat=cfg.remat,
+                   attn_window=cfg.attn_window,
+                   level0_skip=cfg.level0_skip,
                    down_capacities=(max(b * cells // 8, 16),
                                     max(b * cells // 64, 8),
                                     max(b * cells // 512, 8)))

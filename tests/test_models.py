@@ -238,6 +238,39 @@ def test_sample_latent_cfg(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_unet_level0_skip_forward(unet_env):
+    """level0_skip concats the conv_in activation into conv_out's input —
+    the identity path around the s1 bottleneck (DESIGN §9, VERDICT r4
+    item 6).  Grid invariants must hold and the param tree must grow only
+    at conv_out (wider kernel input)."""
+    lat, unet, variables, _ = unet_env
+    unet_s = mm.UNet(**UNET_KW, level0_skip=True)
+    t0 = jnp.zeros((2,), jnp.int32)
+    vs = jax.jit(unet_s.init)(jax.random.PRNGKey(0), lat, t0)
+    out = jax.jit(lambda v, x, t: unet_s.apply(v, x, t))(vs, lat, t0)
+    np.testing.assert_array_equal(np.asarray(out.C), np.asarray(lat.C))
+    assert out.F.shape == (64, 4)
+    assert np.all(np.isfinite(np.asarray(out.F)))
+    k_plain = variables["params"]["conv_out"]["kernel"]
+    k_skip = vs["params"]["conv_out"]["kernel"]
+    assert k_skip.shape[1] == 2 * k_plain.shape[1]  # concat widened input
+
+
+def test_unet_attn_window_forward(unet_env):
+    """attn_window engages Morton-window attention at levels whose dense
+    cell bound exceeds attn_max_len (the res-256 canvas regime) and must
+    preserve the grid exactly like full attention."""
+    lat, unet, variables, _ = unet_env
+    kw = dict(UNET_KW)
+    kw["attn_max_len"] = 8  # force the window path at the finer levels
+    unet_w = mm.UNet(**kw, attn_window=16)
+    t0 = jnp.zeros((2,), jnp.int32)
+    vs = jax.jit(unet_w.init)(jax.random.PRNGKey(0), lat, t0)
+    out = jax.jit(lambda v, x, t: unet_w.apply(v, x, t))(vs, lat, t0)
+    np.testing.assert_array_equal(np.asarray(out.C), np.asarray(lat.C))
+    assert np.all(np.isfinite(np.asarray(out.F)))
+
+
 def test_unet_remat_forward(unet_env):
     # `remat=True` must compose with the UNet's grid plumbing: lifted remat
     # re-flattens module outputs into fresh pytrees, so the pinned skip grids
