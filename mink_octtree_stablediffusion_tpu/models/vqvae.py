@@ -21,20 +21,47 @@ from .vae import Decoder, Encoder
 
 
 class VectorQuantizer(nn.Module):
-    """Nearest-code lookup + straight-through (`VQVae_res.py:708-732`)."""
+    """Nearest-code lookup + straight-through (`VQVae_res.py:708-732`).
+
+    ``ema=True`` replaces the codebook-gradient loss with exponential-
+    moving-average code updates (van den Oord App. A; the reference ships
+    only the gradient form — this is the r5 codebook-engineering lever,
+    VERDICT r4 item 9), and ``restart_dead=True`` re-seeds codes whose
+    EMA usage decays below ``dead_floor`` with random encoder outputs
+    from the current batch.  Both run as `batch_stats`-style state in a
+    ``vq_stats`` collection (no gradients through the codebook)."""
 
     num_embeddings: int
     embedding_dim: int
+    ema: bool = False
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5
+    restart_dead: bool = False
+    dead_floor: float = 0.1  # EMA cluster-size floor before restart
+    axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, ze: SparseTensor):
+    def __call__(self, ze: SparseTensor, train: bool = True):
         k = self.num_embeddings
-        codebook = self.param(
-            "embedding",
-            lambda key, shape: jax.random.uniform(
-                key, shape, minval=-1.0 / k, maxval=1.0 / k),
-            (k, self.embedding_dim),
-        )
+
+        def init_book(key, shape):
+            return jax.random.uniform(key, shape, minval=-1.0 / k,
+                                      maxval=1.0 / k)
+
+        if self.ema:
+            book_var = self.variable(
+                "vq_stats", "embedding", init_book,
+                jax.random.PRNGKey(11), (k, self.embedding_dim))
+            cs_var = self.variable("vq_stats", "cluster_size",
+                                   lambda: jnp.ones((k,)))
+            sum_var = self.variable("vq_stats", "ema_sum",
+                                    lambda: book_var.value)
+            step_var = self.variable("vq_stats", "steps",
+                                     lambda: jnp.zeros((), jnp.int32))
+            codebook = book_var.value
+        else:
+            codebook = self.param("embedding", init_book,
+                                  (k, self.embedding_dim))
         # ‖ze − e‖² = ‖ze‖² − 2 ze·e + ‖e‖²  (argmin over codes)
         d = (jnp.sum(ze.features ** 2, -1, keepdims=True)
              - 2.0 * ze.features @ codebook.T
@@ -44,11 +71,45 @@ class VectorQuantizer(nn.Module):
         # straight-through: decoder input carries ze's gradient
         st = ze.features + jax.lax.stop_gradient(zq - ze.features)
         v = ze.valid.astype(ze.features.dtype)[:, None]
-        loss_zq = jnp.sum((zq - jax.lax.stop_gradient(ze.features)) ** 2 * v) \
-            / jnp.maximum(jnp.sum(v) * self.embedding_dim, 1.0)
         loss_ze = jnp.sum((jax.lax.stop_gradient(zq) - ze.features) ** 2 * v) \
             / jnp.maximum(jnp.sum(v) * self.embedding_dim, 1.0)
-        return ze.with_features(st), idx, loss_zq + loss_ze
+
+        if not self.ema:
+            loss_zq = (jnp.sum((zq - jax.lax.stop_gradient(ze.features)) ** 2
+                               * v)
+                       / jnp.maximum(jnp.sum(v) * self.embedding_dim, 1.0))
+            return ze.with_features(st), idx, loss_zq + loss_ze
+
+        if train and not self.is_initializing():
+            zf = jax.lax.stop_gradient(ze.features)
+            onehot = jax.nn.one_hot(idx, k) * v  # invalid rows count 0
+            counts = jnp.sum(onehot, 0)
+            sums = onehot.T @ zf
+            if self.axis_name is not None:  # dp: global statistics
+                counts = jax.lax.psum(counts, self.axis_name)
+                sums = jax.lax.psum(sums, self.axis_name)
+            dcy = self.ema_decay
+            cs = dcy * cs_var.value + (1 - dcy) * counts
+            es = dcy * sum_var.value + (1 - dcy) * sums
+            n = jnp.sum(cs)
+            cs_smoothed = ((cs + self.ema_eps)
+                           / (n + k * self.ema_eps) * n)
+            book = es / cs_smoothed[:, None]
+            if self.restart_dead:
+                # re-seed dying codes from random valid encoder rows
+                key = jax.random.fold_in(jax.random.PRNGKey(13),
+                                         step_var.value)
+                p = v[:, 0] / jnp.maximum(jnp.sum(v), 1.0)
+                rows = jax.random.choice(key, zf.shape[0], (k,), p=p)
+                dead = cs < self.dead_floor
+                book = jnp.where(dead[:, None], zf[rows], book)
+                es = jnp.where(dead[:, None], zf[rows], es)
+                cs = jnp.where(dead, 1.0, cs)
+            cs_var.value = cs
+            sum_var.value = es
+            book_var.value = book
+            step_var.value = step_var.value + 1
+        return ze.with_features(st), idx, loss_ze
 
 
 class VQVAE(nn.Module):
@@ -59,6 +120,9 @@ class VQVAE(nn.Module):
     encoder_capacities: Sequence[int] = (16384, 8192, 2048, 2048, 2048)
     decoder_capacities: Sequence[int] = (2048, 8192, 16384, 32768)
     max_keep: Optional[int] = None
+    ema: bool = False
+    ema_decay: float = 0.99
+    restart_dead: bool = False
     axis_name: Optional[str] = None
 
     def setup(self):
@@ -67,11 +131,14 @@ class VQVAE(nn.Module):
         self.decoder = Decoder(tuple(reversed(self.channels)),
                                self.decoder_capacities, self.max_keep,
                                self.axis_name)
-        self.vq = VectorQuantizer(self.num_embeddings, self.channels[-1])
+        self.vq = VectorQuantizer(self.num_embeddings, self.channels[-1],
+                                  ema=self.ema, ema_decay=self.ema_decay,
+                                  restart_dead=self.restart_dead,
+                                  axis_name=self.axis_name)
 
     def __call__(self, sinput: SparseTensor, target_grid: SparseGrid,
                  train: bool = True):
         ze, _ = self.encoder(sinput, train=train)
-        zq, idx, vq_loss = self.vq(ze)
+        zq, idx, vq_loss = self.vq(ze, train=train)
         out_clss, targets, sout = self.decoder(zq, target_grid, train=train)
         return out_clss, targets, sout, ze, idx, vq_loss

@@ -56,6 +56,15 @@ def main(argv=None):
     p.add_argument("--vae_channel", type=int, nargs=5,
                    default=[16, 32, 64, 64, 4])
     p.add_argument("--num_embeddings", type=int, default=512)
+    p.add_argument("--ema", action="store_true",
+                   help="EMA codebook updates instead of the codebook-"
+                        "gradient loss (VERDICT r4 item 9)")
+    p.add_argument("--ema_decay", type=float, default=0.99)
+    p.add_argument("--restart_dead", action="store_true",
+                   help="re-seed dying codes from batch encoder outputs")
+    p.add_argument("--stream", action="store_true",
+                   help="fresh on-device procedural batches every step "
+                        "(data/device_shapes.py) — the streaming protocol")
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--generalize", action="store_true",
@@ -66,6 +75,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--viz_dir", type=str, default=None)
     cfg = p.parse_args(argv)
+    if cfg.stream:
+        cfg.generalize = True  # streaming implies the held-out protocol
 
     res, b, cap = cfg.resolution, cfg.batch_size, cfg.input_capacity
     np_rng = np.random.RandomState(cfg.seed + 1)
@@ -90,11 +101,22 @@ def main(argv=None):
         cpad, valid, _, _ = collate_pointclouds(coords_list, cap)
         return jnp.asarray(cpad), jnp.asarray(valid)
 
-    def train_batch():
-        if cfg.generalize:
-            idx = np_rng.randint(0, len(train_coords), b)
-            return collate([train_coords[i] for i in idx])
-        return collate(train_coords)
+    if cfg.stream:
+        import itertools
+        from mink_octtree_stablediffusion_tpu.data import procedural_batch
+        _counter = itertools.count()
+        _skey = jax.random.PRNGKey(cfg.seed + 177)
+
+        def train_batch():
+            k = jax.random.fold_in(_skey, next(_counter))
+            cpad, valid, _, _ = procedural_batch(k, b, cfg.points, res, cap)
+            return cpad, valid
+    else:
+        def train_batch():
+            if cfg.generalize:
+                idx = np_rng.randint(0, len(train_coords), b)
+                return collate([train_coords[i] for i in idx])
+            return collate(train_coords)
 
     val_batches = [collate(val_coords[i:i + b])
                    for i in range(0, len(val_coords) - b + 1, b)]
@@ -102,6 +124,8 @@ def main(argv=None):
     enc_caps, dec_caps = capacities(cap)
     net = mm.VQVAE(channels=tuple(cfg.vae_channel),
                    num_embeddings=cfg.num_embeddings,
+                   ema=cfg.ema, ema_decay=cfg.ema_decay,
+                   restart_dead=cfg.restart_dead,
                    encoder_capacities=enc_caps, decoder_capacities=dec_caps)
 
     def build(cpad, valid):
@@ -117,14 +141,17 @@ def main(argv=None):
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adam(mtrain.warmup_cosine(cfg.lr, 20, cfg.steps)))
-    state = mtrain.TrainState.create(variables["params"],
-                                     variables.get("batch_stats", {}), tx)
+    # non-param state: batch_stats (+ vq_stats for the EMA codebook) ride
+    # the TrainState's batch_stats slot as one nested dict
+    stats0 = {k: variables[k] for k in ("batch_stats", "vq_stats")
+              if k in variables}
+    state = mtrain.TrainState.create(variables["params"], stats0, tx)
 
     def loss_fn(params, batch_stats, batch, rng):
         st = build(*batch)
         (out_clss, targets, sout, ze, idx, vq_loss), upd = net.apply(
-            {"params": params, "batch_stats": batch_stats}, st, st.grid,
-            mutable=["batch_stats"])
+            {"params": params, **batch_stats}, st, st.grid,
+            mutable=list(batch_stats.keys()))
         bce = 0.0
         for logits_t, target in zip(out_clss, targets):
             lo = logits_t.features[:, 0]
@@ -136,7 +163,7 @@ def main(argv=None):
                 jnp.sum(v.astype(lo.dtype)), 1.)
         bce = bce / len(out_clss)
         loss = bce + vq_loss
-        return loss, ({"bce": bce, "vq": vq_loss}, upd["batch_stats"])
+        return loss, ({"bce": bce, "vq": vq_loss}, dict(upd))
 
     step_fn = mtrain.make_train_step(loss_fn)
     t0 = time.time()
@@ -150,14 +177,14 @@ def main(argv=None):
                   f"{vq:.5f} ({(time.time() - t0) / step:.2f} s/step)",
                   flush=True)
 
-    vv = {"params": state.params, "batch_stats": state.batch_stats}
+    vv = {"params": state.params, **state.batch_stats}
 
     @jax.jit
     def reconstruct(vv, cpad, valid):
         st = build(cpad, valid)
         (out_clss, targets, sout, ze, idx, vq_loss), _ = net.apply(
-            {"params": vv["params"], "batch_stats": vv["batch_stats"]},
-            st, st.grid, train=False, mutable=["batch_stats"])
+            vv, st, st.grid, train=False,
+            mutable=[k for k in vv if k != "params"])
         code_valid = ze.valid
         return st, sout, idx, code_valid
 

@@ -95,6 +95,34 @@ def test_vq_layer(rng):
     assert float(loss) >= 0
 
 
+def test_vq_layer_ema_updates_codebook(rng):
+    """EMA mode: the codebook lives in vq_stats (no gradient), moves
+    toward assigned encoder outputs each train step, and dead codes are
+    re-seeded from the batch when restart_dead is set."""
+    st = sphere_tensor(rng, b=1, cap=64)
+    st = st.with_features(jnp.asarray(rng.randn(64, 4).astype(np.float32))
+                          ).mask_features()
+    vq = mm.VectorQuantizer(num_embeddings=8, embedding_dim=4, ema=True,
+                            ema_decay=0.5, restart_dead=True)
+    variables = jax.jit(vq.init)(jax.random.PRNGKey(0), st)
+    assert "params" not in variables  # codebook is state, not a param
+    book0 = np.asarray(variables["vq_stats"]["embedding"])
+    step = jax.jit(lambda v, s: vq.apply(v, s, mutable=["vq_stats"]))
+    (zq, idx, loss), upd = step(variables, st)
+    book1 = np.asarray(upd["vq_stats"]["embedding"])
+    assert not np.allclose(book0, book1)  # codes moved toward the batch
+    assert np.all(np.isfinite(book1))
+    assert float(loss) >= 0
+    # a second step keeps moving and stays finite
+    (zq2, idx2, loss2), upd2 = step({"vq_stats": upd["vq_stats"]}, st)
+    assert np.all(np.isfinite(np.asarray(upd2["vq_stats"]["embedding"])))
+    # eval mode leaves state untouched
+    (zq3, _, _), upd3 = jax.jit(lambda v, s: vq.apply(
+        v, s, train=False, mutable=["vq_stats"]))(variables, st)
+    np.testing.assert_array_equal(
+        np.asarray(upd3["vq_stats"]["embedding"]), book0)
+
+
 def test_scheduler_matches_closed_form():
     s = md.DDPMScheduler.create(num_train_timesteps=100)
     x0 = jnp.ones((4, 2))
