@@ -68,7 +68,8 @@ def workload(res: int, batch: int, stride: int, points: int):
 
 
 def bench_config(coords: np.ndarray, cin: int, cout: int, extent, batch: int,
-                 trials: int = 3, s0: int = 4, s1: int = 16):
+                 trials: int = 3, s0: int = 4, s1: int = 16,
+                 tile_override=None, pairs_cache=None):
     n = len(coords)
     cap = up1024(1.25 * n)
     cpad, valid = mt.ops.pad_to_capacity(coords, cap)
@@ -88,7 +89,8 @@ def bench_config(coords: np.ndarray, cin: int, cout: int, extent, batch: int,
                     # wide channels need the default 128/256 tiling (the
                     # 256/512 tiles of the Cin=3 headline exceed the 16MB
                     # VMEM budget at C>=256)
-                    tile, tw = (256, 512) if cin <= 64 else (128, 256)
+                    tile, tw = (tile_override or
+                                ((256, 512) if cin <= 64 else (128, 256)))
                     out = mt.ops.fused_sparse_conv(f, kernel, grid, grid,
                                                    spec, tile=tile, tw=tw)
                 else:
@@ -117,7 +119,7 @@ def bench_config(coords: np.ndarray, cin: int, cout: int, extent, batch: int,
         return best
 
     per_iter = max((timed(s1) - timed(s0)) / (s1 - s0), 1e-9)
-    pairs = pair_count(coords)
+    pairs = pairs_cache if pairs_cache is not None else pair_count(coords)
     flops = 2.0 * pairs * cin * cout
     bytes_moved = 4.0 * (pairs * cin + n * cout)
     return {
@@ -144,6 +146,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--points", type=int, default=131072)
+    ap.add_argument("--only", type=str, default=None,
+                    help="run just the named config (e.g. s4_C512)")
+    ap.add_argument("--tile_sweep", action="store_true",
+                    help="sweep Pallas (tile, tw) pairs for each config")
     args = ap.parse_args()
 
     if args.smoke:
@@ -161,12 +167,21 @@ def main():
         ]
 
     for name, stride, cin, cout in configs:
+        if args.only and name != args.only:
+            continue
         coords = workload(args.resolution, args.batch, stride, args.points)
         ext = tuple([-(-args.resolution // stride)] * 3)
-        r = bench_config(coords, cin, cout, ext, args.batch)
-        r.update({"config": name, "cin": cin, "cout": cout,
-                  "stride": stride})
-        print(json.dumps(r), flush=True)
+        sweeps = ([None] if not args.tile_sweep else
+                  [None, (64, 256), (128, 128), (128, 512), (256, 256),
+                   (64, 512)])
+        pairs = pair_count(coords)
+        for tt in sweeps:
+            r = bench_config(coords, cin, cout, ext, args.batch,
+                             tile_override=tt, pairs_cache=pairs)
+            r.update({"config": name, "cin": cin, "cout": cout,
+                      "stride": stride,
+                      "tile": "default" if tt is None else list(tt)})
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
