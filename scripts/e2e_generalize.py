@@ -326,7 +326,8 @@ def main(argv=None):
         result = {"val_recon_iou": final_val_iou,
                   "train_recon_iou": train_iou,
                   "train_shapes": cfg.train_shapes,
-                  "stream": cfg.stream,
+                  "stream": bool(cfg.stream or cfg.stream_device),
+                  "stream_device": cfg.stream_device,
                   "resolution": res,
                   "steps_vae": cfg.steps_vae}
         print(json.dumps(result), flush=True)
@@ -509,7 +510,8 @@ def main(argv=None):
         "gen_nearest_val_iou_mean": float(np.mean(nearest_val)),
         "gen_voxels_median": int(np.median(counts)),
         "prediction_type": cfg.prediction_type,
-        "stream": cfg.stream,
+        "stream": bool(cfg.stream or cfg.stream_device),
+        "stream_device": cfg.stream_device,
         "resolution": res,
     }
     print(json.dumps(result), flush=True)
