@@ -58,6 +58,12 @@ class UNet(nn.Module):
     # identity component; this flag is the constructive test of that
     # mechanism (VERDICT r4 item 6)
     level0_skip: bool = False
+    # add a pooled projection of encoder_hidden_state to the timestep
+    # embedding (AdaGN-style class conditioning: every FiLM/scale-shift
+    # norm then carries the condition, not just the cross-attn layers).
+    # Bias-free so a CFG-dropped all-zero condition leaves temb untouched
+    # and the unconditional branch stays exactly unconditional.
+    cond_into_time: bool = False
 
     def _group(self, out_ch: int, after: Optional[str], num_layers: int,
                with_attn: bool, cap: Optional[int], name: str):
@@ -86,6 +92,10 @@ class UNet(nn.Module):
         ch = self.channels
         temb = timesteps_embedding(timesteps, ch[0])
         temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(temb)
+        if self.cond_into_time and encoder_hidden_state is not None:
+            temb = temb + nn.Dense(ch[0] * 4, use_bias=False,
+                                   name="cond_time_proj")(
+                encoder_hidden_state.mean(axis=1))
 
         # Clamp every level capacity to the DENSE CELL BOUND of its stride:
         # a bounded grid at stride s holds at most B·prod(ceil(extent/s))

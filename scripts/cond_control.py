@@ -79,6 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--time_norm", choices=["default", "scale_shift"],
                    default="default",
                    help="UNet time-embedding norm (scale_shift = FiLM)")
+    p.add_argument("--cond_into_time", action="store_true",
+                   help="AdaGN-style: add the pooled class tokens to the "
+                        "timestep embedding so every norm carries the "
+                        "condition (guided-diffusion practice), not just "
+                        "the cross-attn layers")
     p.add_argument("--cfg_scales", type=float, nargs="+",
                    default=[1.0, 2.0, 3.0])
     p.add_argument("--rounds", type=int, default=13,
@@ -327,6 +332,7 @@ def main(argv=None):
     unet = mm.UNet(channels=tuple(cfg.unet_channel), group=cfg.group,
                    with_cross_attn=True, cross_attention_dim=D,
                    time_embedding_norm=cfg.time_norm,
+                   cond_into_time=cfg.cond_into_time,
                    attn_max_len=attn_max_len,
                    down_capacities=(max(b * cells // 8, 16),
                                     max(b * cells // 64, 8),
